@@ -1,0 +1,74 @@
+"""Patch extraction (unfold / im2col) and overlap-add (fold / col2im).
+
+The reference uses torch.nn.Unfold/Fold CUDA kernels everywhere
+(global_data_pre_cal.py:17, blurry_edges_test.py:120,
+utils/postprocessing_loss.py:139-173). Here unfold is
+``lax.conv_general_dilated_patches`` and fold is its exact linear transpose
+(``jax.linear_transpose``), which XLA lowers to a native transposed
+convolution / scatter-add - no Python loops, fully fusable, and adjointness
+holds bit-exactly by construction.
+
+Canonical patch layout: (N, Hp, Wp, R, R, C) - batch, patch-grid row/col,
+in-patch row/col, channel. NHWC throughout (TPU-friendly).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def unfold(img, R: int, stride: int):
+    """Extract all R x R patches at the given stride.
+
+    img: (N, H, W, C) -> (N, Hp, Wp, R, R, C) with
+    Hp = floor((H - R) / stride) + 1 (reference
+    utils/postprocessing_loss.py:135-137 / torch.nn.Unfold semantics).
+    """
+    N, H, W, C = img.shape
+    # Precision.HIGHEST: the underlying identity-kernel conv must not truncate
+    # operand values to bf16 (pure data movement must be exact).
+    patches = lax.conv_general_dilated_patches(
+        img, (R, R), (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
+    Hp, Wp = patches.shape[1], patches.shape[2]
+    # feature dim ordering of conv_general_dilated_patches is (C, R, R)
+    patches = patches.reshape(N, Hp, Wp, C, R, R)
+    return jnp.transpose(patches, (0, 1, 2, 4, 5, 3))
+
+
+@functools.lru_cache(maxsize=32)
+def _fold_transpose(shape_key, R: int, stride: int, dtype_name: str):
+    N, H, W, C = shape_key
+    dtype = jnp.dtype(dtype_name)
+    return jax.linear_transpose(
+        lambda im: unfold(im, R, stride),
+        jax.ShapeDtypeStruct((N, H, W, C), dtype))
+
+
+def fold(patches, H: int, W: int, stride: int):
+    """Overlap-add of patches back into an image - exact adjoint of
+    :func:`unfold` (torch.nn.Fold semantics; reference
+    utils/postprocessing_loss.py:139-173).
+
+    patches: (N, Hp, Wp, R, R, C) -> (N, H, W, C). Callers divide by
+    :func:`fold_count` where mean-overlap normalization is wanted.
+    """
+    N, Hp, Wp, R, R2, C = patches.shape
+    assert R == R2
+    t = _fold_transpose((N, H, W, C), R, stride, jnp.dtype(patches.dtype).name)
+    (img,) = t(patches)
+    return img
+
+
+def fold_count(H: int, W: int, R: int, stride: int, dtype=jnp.float32):
+    """Overlap count per output pixel: fold of all-ones patches (reference
+    utils/postprocessing_loss.py:139-144 ``num_patches``). Shape (H, W)."""
+    Hp = (H - R) // stride + 1
+    Wp = (W - R) // stride + 1
+    ones = jnp.ones((1, Hp, Wp, R, R, 1), dtype=dtype)
+    return fold(ones, H, W, stride)[0, :, :, 0]
