@@ -1,0 +1,157 @@
+"""Benchmark harness: image-pairs/sec for the full inference pipeline at
+147x147 (the reference's timed region, blurry_edges_test.py:117-145:
+unfold -> 8,192 local-CNN forwards -> color solve -> global transformer ->
+wedge render + DfD -> folds -> densify threshold).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "image-pairs/sec", "vs_baseline": N}
+
+vs_baseline is the speedup over the reference PyTorch pipeline measured on
+this host's CPU (the only reference hardware available here; the reference
+publishes no numbers - BASELINE.md). Extra detail goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_WARMUP = 2
+N_TIMED = 20
+REF_PAIRS = 1  # reference CPU pairs to time (slow)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+
+    from blurry_edges_tpu import models
+    from blurry_edges_tpu.config import CamConfig, GridConfig, PatchConfig
+    from blurry_edges_tpu.eval.pipeline import InferenceModules, make_depth_estimator
+
+    key = jax.random.PRNGKey(0)
+    grid = GridConfig()
+    local = models.LocalStage()
+    glob = models.GlobalStage()
+    mods = InferenceModules(
+        local_model=local,
+        local_vars=local.init(key, jnp.zeros((1, 21, 21, 3))),
+        global_model=glob,
+        global_vars=glob.init(key, jnp.zeros((1, grid.num_tokens, 38))))
+    fn = make_depth_estimator(mods, PatchConfig(), grid, CamConfig(), densify=None)
+
+    imgs = [jax.random.uniform(jax.random.PRNGKey(i), (2, grid.H, grid.W, 3))
+            for i in range(N_TIMED)]
+    for i in range(N_WARMUP):
+        jax.block_until_ready(fn(imgs[i % len(imgs)]))
+    t0 = time.time()
+    for i in range(N_TIMED):
+        jax.block_until_ready(fn(imgs[i]))
+    dt = time.time() - t0
+    pps = N_TIMED / dt
+    log(f"ours (TPU, jitted single-pair): {pps:.3f} pairs/s ({dt / N_TIMED * 1e3:.1f} ms/pair)")
+    return pps
+
+
+def bench_reference_cpu():
+    """Time the reference pipeline (torch CPU) over the same region with
+    random weights. Returns pairs/sec or None if unavailable."""
+    ref_root = "/root/reference"
+    if not os.path.isdir(ref_root):
+        return None
+    try:
+        import torch
+    except ImportError:
+        return None
+    import importlib.util
+
+    def load(relpath, name, top=False):
+        if top:
+            sys.path.insert(0, ref_root)
+        try:
+            spec = importlib.util.spec_from_file_location(name, os.path.join(ref_root, relpath))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return mod
+        finally:
+            if top:
+                sys.path.remove(ref_root)
+                for m in [m for m in list(sys.modules)
+                          if m in ("data", "models", "utils")
+                          or m.startswith(("data.", "models.", "utils."))]:
+                    del sys.modules[m]
+
+    import types
+    t = torch
+    nn = torch.nn
+    torch.manual_seed(0)
+    args = types.SimpleNamespace(
+        R=21, w=1.0, alpha_lambda=5e-3, batch_size=1, stride=2,
+        img_size=[147, 147], big_img_size=[587, 587], mag=4.0, rho_prime=10.39,
+        densify=None,
+        cam_params={"s": 0.1104, "rho_1": 10.0, "rho_2": 10.2,
+                    "sigma_cam": 0.003, "pixel_pitch": 5.86e-6})
+    ls = load("models/local_stage.py", "bench_ls").LocalStage().eval()
+    gs = load("models/global_stage.py", "bench_gs").GlobalStage(
+        in_parameter_size=38, out_parameter_size=12).eval()
+    bet = load("blurry_edges_test.py", "bench_bet", top=True)
+    de = load("utils/depth_etas.py", "bench_de")
+    helper = bet.PostProcess(args, de.DepthEtas(args, t.device("cpu")), t.device("cpu"))
+    Hp = helper.H_patches
+    R = args.R
+
+    img = t.rand(1, 2, 147, 147, 3)
+    times = []
+    with t.no_grad():
+        for _ in range(REF_PAIRS):
+            t0 = time.time()
+            t_img = img.flatten(0, 1).permute(0, 3, 1, 2)
+            img_patches = nn.Unfold(R, stride=2)(t_img).view(2, 3, R, R, Hp, Hp)
+            vec = img_patches.permute(0, 4, 5, 1, 2, 3).reshape(2 * Hp * Hp, 3, R, R)
+            params_est = ls(vec)
+            params = params_est.view(2, Hp, Hp, 10).flatten(1, 2).detach()
+            xy, angles, etac = params[:, :, :4], t.remainder(params[:, :, 4:8], 2 * t.pi), params[:, :, 8:]
+            params = t.cat([xy, angles, etac], dim=2)
+            colors = helper(params, img_patches, colors_only=True)
+            colors = colors.flatten(3, 4).flatten(1, 2).permute(0, 2, 1)
+            pm = t.cat([xy / 3, (angles - t.pi) / t.pi, etac - 0.5,
+                        (colors - 0.5) * 2], dim=2).unsqueeze(0).permute(0, 2, 1, 3).flatten(2, 3)
+            params = gs(pm)
+            est = t.cat([params[:, :, :4] * 3,
+                         t.remainder((params[:, :, 4:8] + 1) * t.pi, 2 * t.pi),
+                         params[:, :, 8:] + 0.5], dim=2)
+            out = helper(est, img_patches, colors_only=False)
+            conf, gdepth = out[5], out[4]
+            _ = np.where(conf > 0.05, gdepth, np.zeros_like(gdepth))
+            times.append(time.time() - t0)
+    pps = 1.0 / (sum(times) / len(times))
+    log(f"reference (torch CPU): {pps:.4f} pairs/s ({sum(times) / len(times):.2f} s/pair)")
+    return pps
+
+
+def main():
+    ours = bench_ours()
+    try:
+        ref = bench_reference_cpu()
+    except Exception as e:  # reference timing is best-effort
+        log(f"reference CPU bench failed: {e}")
+        ref = None
+    vs = ours / ref if ref else None
+    print(json.dumps({
+        "metric": "image-pairs/sec at 147x147 (full inference: local CNN + global transformer + wedge render + DfD + fold + densify)",
+        "value": round(ours, 3),
+        "unit": "image-pairs/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Full inference pipeline: image pair -> dense depth map + confidence +
+restored / sharpened / refocused renders + boundary map.
+
+Parity: reference blurry_edges_test.py:12-203. The reference's timed region
+(unfold -> 8,192 local-CNN forwards -> per-image color solve -> global
+transformer -> full wedge render with DfD depth -> folds -> densify,
+blurry_edges_test.py:117-145) is here ONE jitted function - a single XLA
+program per image pair with no host round-trips, which is where the TPU
+speedup comes from.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CamConfig, GridConfig, PatchConfig
+from ..models import GlobalStage, LocalStage, UNet
+from ..ops import (boundary_map, depth_masks, dists2indicators, fold,
+                   fold_count, make_patch_grid, params2dists, params2etas,
+                   render_patches, solve_colors, unfold)
+from ..ops.dfd import DfDSolver
+from ..ops.params import (denormalize_global_eval, normalize_token_features,
+                          wrap_local_params)
+
+
+@dataclasses.dataclass
+class InferenceModules:
+    """Models + weights for the three-stage pipeline."""
+
+    local_model: LocalStage
+    local_vars: dict
+    global_model: GlobalStage
+    global_vars: dict
+    unet_model: Optional[UNet] = None
+    unet_vars: Optional[dict] = None
+
+
+def render_full(xy_angles, etas, img_patches, patch_cfg: PatchConfig,
+                dfd: DfDSolver, rho_prime: float, hard_mask: bool):
+    """The colors_only=False render (reference blurry_edges_test.py:30-79):
+    pair patches with a joint color solve, sharpened (eta=1e-4) and refocused
+    (eta from depth2sigma at rho_prime) renders, boundary map, DfD depth and
+    wedge-assignment mask.
+
+    xy_angles: (B, Hp, Wp, 8); etas: (B, Hp, Wp, 4);
+    img_patches: (B, 2, Hp, Wp, R, R, 3).
+    """
+    from ..train.global_ import depth_from_etas, render_pair_grid
+
+    patches, _, colors, dists = render_pair_grid(xy_angles, etas, img_patches, patch_cfg)
+    local_bndry = boundary_map(dists)
+    depth_map, depth_mask, d1, d2 = depth_from_etas(etas, dists, dfd, hard_mask=hard_mask)
+
+    wedges_shpd = dists2indicators(dists, jnp.full(etas[..., :2].shape, 1e-4, etas.dtype))
+    patches_shpd = render_patches(wedges_shpd, colors)
+
+    any1 = jnp.sum((depth_mask == 1), axis=(-2, -1)) > 0   # (B, Hp, Wp)
+    any2 = jnp.sum((depth_mask == 2), axis=(-2, -1)) > 0
+    sig1 = jnp.where(any1, dfd.depth2sigma(d1, rho_prime), 1e-4)
+    sig2 = jnp.where(any2, dfd.depth2sigma(d2, rho_prime), 1e-4)
+    wedges_refoc = dists2indicators(dists, jnp.stack([sig1, sig2], axis=-1))
+    patches_refoc = render_patches(wedges_refoc, colors)
+
+    return dict(patches=patches, patches_shpd=patches_shpd,
+                patches_refoc=patches_refoc, local_bndry=local_bndry,
+                depth_map=depth_map, depth_mask=depth_mask)
+
+
+def fold_outputs(rend, grid: GridConfig, dtype=jnp.float32):
+    """Overlap-add all rendered patch grids into global maps (reference
+    blurry_edges_test.py:95-100 and utils/postprocessing_loss.py:146-173)."""
+    H, W, R, stride = grid.H, grid.W, grid.R, grid.stride
+    count = fold_count(H, W, R, stride, dtype)
+
+    def fmean(p):  # (..., Hp, Wp, R, R, C)
+        lead = p.shape[:-5]
+        out = fold(p.reshape((-1,) + p.shape[-5:]), H, W, stride)
+        return out.reshape(lead + out.shape[1:]) / count[:, :, None]
+
+    global_image = fmean(rend["patches"])                        # (B,2,H,W,3)
+    global_shpd = fmean(rend["patches_shpd"])                    # (B,H,W,3)
+    global_refoc = fmean(rend["patches_refoc"])
+    global_bndry = fmean(rend["local_bndry"][..., None])[..., 0]  # (B,H,W)
+
+    dm = rend["depth_mask"]
+    num_depth = fold((dm > 0).astype(dtype)[..., None].reshape((-1,) + dm.shape[-4:] + (1,)),
+                     H, W, stride)[..., 0]                        # (B,H,W)
+    confidence = num_depth / count
+    depth_sum = fold(rend["depth_map"][..., None].reshape((-1,) + dm.shape[-4:] + (1,)),
+                     H, W, stride)[..., 0]
+    global_depth = depth_sum / jnp.where(num_depth > 0, num_depth, 1.0)
+
+    return dict(global_image=global_image, global_shpd=global_shpd,
+                global_refoc=global_refoc, global_bndry=global_bndry,
+                global_depth=global_depth, confidence=confidence)
+
+
+def make_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
+                         grid: GridConfig, cam: CamConfig,
+                         densify: Optional[str] = None,
+                         rho_prime: float = 10.39) -> Callable:
+    """Build the single jitted image-pair -> maps function (the reference's
+    timed region, blurry_edges_test.py:117-145)."""
+    from ..train.global_precal import local_tokens
+
+    dfd = DfDSolver.from_config(cam, patch_cfg)
+    Hp, Wp, L, R = grid.H_patches, grid.W_patches, grid.num_tokens, grid.R
+    hard = densify == "w"
+    depth_thres = 0.0 if densify == "w" else 0.05
+
+    @jax.jit
+    def estimate(img_ny):
+        """img_ny: (2, H, W, 3), alpha-normalized."""
+        tokens, _ = local_tokens(mods.local_model, mods.local_vars, img_ny,
+                                 patch_cfg, grid)                 # (2, L, 19)
+        src = tokens.transpose(1, 0, 2).reshape(1, L, 38)
+        est = mods.global_model.apply(mods.global_vars, src, train=False)
+        den = denormalize_global_eval(est).reshape(1, Hp, Wp, 12)
+        xy_angles = den[..., :8]
+        etas = params2etas(den[..., 8:])                          # (1,Hp,Wp,4)
+
+        img_patches = unfold(img_ny, R, grid.stride)[None]        # (1,2,Hp,Wp,R,R,3)
+        rend = render_full(xy_angles, etas, img_patches, patch_cfg, dfd,
+                           rho_prime, hard)
+        out = fold_outputs(rend, grid, img_ny.dtype)
+
+        if densify == "pp":
+            dense = mods.unet_model.apply(mods.unet_vars,
+                                          out["global_depth"][..., None],
+                                          train=False)[..., 0]
+            out["depth_final"] = dense
+        else:
+            out["depth_final"] = jnp.where(out["confidence"] > depth_thres,
+                                           out["global_depth"], 0.0)
+        return out
+
+    return estimate
+
+
+def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None) -> dict:
+    """Dataset evaluation loop with per-image metrics, wall-clock timing of
+    the jitted region, and dataset averages (reference
+    blurry_edges_test.py:102-172)."""
+    from ..config import cam_from_args, grid_from_args, patch_from_args
+    from ..data.datasets import TestDataset
+    from .metrics import eval_depth
+
+    patch_cfg = patch_from_args(args)
+    grid = grid_from_args(args)
+    estimate = make_depth_estimator(modules, patch_cfg, grid, cam_from_args(args),
+                                    densify=args.densify, rho_prime=args.rho_prime)
+    ds = TestDataset(args.data_path)
+    n = len(ds) if max_images is None else min(max_images, len(ds))
+
+    # compile outside the timed region (the reference pays this on image #0)
+    img0, _ = ds[0]
+    jax.block_until_ready(estimate(jnp.asarray(img0)))
+
+    totals = np.zeros(5)
+    total_time = 0.0
+    for j in range(n):
+        img_ny, gt_depth = ds[j]
+        t0 = time.time()
+        out = estimate(jnp.asarray(img_ny))
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        total_time += dt
+
+        depth = np.asarray(out["depth_final"])
+        msk = depth > 0.0
+        m = eval_depth(depth, gt_depth[None], msk, crop=args.crop)
+        totals += np.asarray(m)
+        print(f"Image pair #{j}: delta1 ={m[0]: .3f}, delta2 ={m[1]: .3f}, "
+              f"delta3 ={m[2]: .3f}, RMSE ={m[3]: .3f} cm, AbsRel ={m[4]: .3f} cm, "
+              f"time ={dt: .3f} s", flush=True)
+        if visualizer is not None:
+            visualizer(j, img_ny, gt_depth, {k: np.asarray(v) for k, v in out.items()})
+
+    avg = totals / n
+    print(f"\nAverage running time:{total_time / n: .3f} s")
+    print(f"Average metrics for whole dataset: delta1 ={avg[0]: .3f}, "
+          f"delta2 ={avg[1]: .3f}, delta3 ={avg[2]: .3f}, RMSE ={avg[3]: .3f} cm, "
+          f"AbsRel ={avg[4]: .3f} cm", flush=True)
+    return dict(delta1=avg[0], delta2=avg[1], delta3=avg[2], rmse=avg[3],
+                absrel=avg[4], avg_time=total_time / n,
+                pairs_per_sec=n / total_time)

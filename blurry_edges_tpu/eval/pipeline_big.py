@@ -1,0 +1,173 @@
+"""Block-tiled large-image inference (587x587 and other 147+4x sizes).
+
+Parity: reference blurry_edges_test_big.py:12-241 - the big image is cut into
+147x147 blocks at block_stride = img - R + stride - 2*stride*n_margin_patch,
+each block runs the full local->global->render pipeline, n_margin_patch
+border patches are discarded on interior block edges, and the kept patch
+outputs are stitched into the full patch-grid buffers before one global fold.
+
+TPU-first: the reference runs its 36 blocks in a serial Python double loop
+(its hottest eval path, SURVEY.md section 3.5); here all blocks run as ONE
+vmapped program and the margin-discard stitch is a single static gather, so
+the whole big-image pipeline is one jitted call.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CamConfig, GridConfig, PatchConfig
+from ..ops import params2etas, unfold
+from ..ops.dfd import DfDSolver
+from ..ops.params import denormalize_global_eval
+from .pipeline import InferenceModules, fold_outputs, render_full
+
+
+def block_geometry(img_size, big_img_size, R: int, stride: int, n_margin: int):
+    """Block stride / count (reference blurry_edges_test_big.py:116-117)."""
+    img = np.array(img_size)
+    big = np.array(big_img_size)
+    block_stride = (img - R + stride - 2 * stride * n_margin).astype(int)
+    n_block = np.ceil((big - R - 2 * stride * n_margin + stride) / block_stride).astype(int)
+    return tuple(block_stride), tuple(n_block)
+
+
+def stitch_maps(Hp_local: int, Hp_big: int, n_blocks: int, n_margin: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Static source maps for the margin-discard stitch: for each full-grid
+    patch row I, which block row and which local patch row supply it.
+    Replicates the reference's sequential overwrite bookkeeping
+    (blurry_edges_test_big.py:166-183) exactly, including edge blocks keeping
+    their outer margins."""
+    src_block = np.zeros(Hp_big, dtype=np.int32)
+    src_local = np.zeros(Hp_big, dtype=np.int32)
+    keep = Hp_local - 2 * n_margin
+    for i in range(n_blocks):
+        v_s = 1 if i == 0 else 0
+        v_e = 1 if i == n_blocks - 1 else 0
+        V_s = i * keep + (1 - v_s) * n_margin
+        V_e = (i + 1) * keep + (1 + v_e) * n_margin
+        V_s_l = (1 - v_s) * n_margin
+        V_e_l = (v_e - 1) * n_margin + Hp_local
+        rows = np.arange(V_s, V_e)
+        src_block[rows] = i
+        src_local[rows] = np.arange(V_s_l, V_e_l)
+    return src_block, src_local
+
+
+def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
+                             block_grid: GridConfig, big_grid: GridConfig,
+                             cam: CamConfig, n_margin: int,
+                             rho_prime: float = 10.39, depth_thres: float = 0.05):
+    """One jitted (2, Hbig, Wbig, 3) -> global maps function."""
+    from ..train.global_precal import local_tokens
+
+    dfd = DfDSolver.from_config(cam, patch_cfg)
+    R, stride = patch_cfg.R, block_grid.stride
+    Hp, Wp, L = block_grid.H_patches, block_grid.W_patches, block_grid.num_tokens
+    HpB, WpB = big_grid.H_patches, big_grid.W_patches
+    (bs0, bs1), (nb0, nb1) = block_geometry(
+        (block_grid.H, block_grid.W), (big_grid.H, big_grid.W), R, stride, n_margin)
+    assert (nb0 - 1) * bs0 + block_grid.H == big_grid.H, "big size must tile exactly (147+4x)"
+
+    vb, vl = stitch_maps(Hp, HpB, nb0, n_margin)
+    hb, hl = stitch_maps(Wp, WpB, nb1, n_margin)
+    idx_block = jnp.asarray(vb[:, None] * nb1 + hb[None, :])   # (HpB, WpB)
+    idx_vloc = jnp.asarray(vl[:, None])                         # (HpB, 1)
+    idx_hloc = jnp.asarray(hl[None, :])                         # (1, WpB)
+
+    def block_core(block_img):
+        """(2, 147, 147, 3) -> per-block patch-grid outputs with (Hp, Wp)
+        leading (the section 3.4 core, reference blurry_edges_test_big.py:144-165)."""
+        tokens, _ = local_tokens(mods.local_model, mods.local_vars, block_img,
+                                 patch_cfg, block_grid)
+        src = tokens.transpose(1, 0, 2).reshape(1, L, 38)
+        est = mods.global_model.apply(mods.global_vars, src, train=False)
+        den = denormalize_global_eval(est).reshape(1, Hp, Wp, 12)
+        img_patches = unfold(block_img, R, stride)[None]
+        rend = render_full(den[..., :8], params2etas(den[..., 8:]), img_patches,
+                           patch_cfg, dfd, rho_prime, hard_mask=False)
+        # -> (Hp, Wp) leading for the stitch gather
+        return dict(
+            patches=jnp.moveaxis(rend["patches"][0], 0, 2),     # (Hp,Wp,2,R,R,3)
+            patches_shpd=rend["patches_shpd"][0],               # (Hp,Wp,R,R,3)
+            patches_refoc=rend["patches_refoc"][0],
+            local_bndry=rend["local_bndry"][0],                 # (Hp,Wp,R,R)
+            depth_map=rend["depth_map"][0],
+            depth_mask=rend["depth_mask"][0])
+
+    @jax.jit
+    def estimate(img_ny):
+        """img_ny: (2, Hbig, Wbig, 3) alpha-normalized."""
+        blocks = jnp.stack([
+            img_ny[:, iv * bs0:iv * bs0 + block_grid.H,
+                   ih * bs1:ih * bs1 + block_grid.W, :]
+            for iv in range(nb0) for ih in range(nb1)])        # (nB,2,147,147,3)
+        outs = jax.vmap(block_core)(blocks)
+        stitched = {k: v[idx_block, idx_vloc, idx_hloc]
+                    for k, v in outs.items()}                   # (HpB,WpB,...)
+        rend = dict(
+            patches=jnp.moveaxis(stitched["patches"], 2, 0)[None],  # (1,2,HpB,WpB,R,R,3)
+            patches_shpd=stitched["patches_shpd"][None],
+            patches_refoc=stitched["patches_refoc"][None],
+            local_bndry=stitched["local_bndry"][None],
+            depth_map=stitched["depth_map"][None],
+            depth_mask=stitched["depth_mask"][None])
+        out = fold_outputs(rend, big_grid, img_ny.dtype)
+        out["depth_final"] = jnp.where(out["confidence"] > depth_thres,
+                                       out["global_depth"], 0.0)
+        return out
+
+    return estimate
+
+
+def run_eval_big(args, modules: InferenceModules, visualizer=None,
+                 max_images=None) -> dict:
+    """Dataset loop for the big path (reference blurry_edges_test_big.py:113-220)."""
+    from ..config import cam_from_args, grid_from_args, patch_from_args
+    from ..data.datasets import TestDataset
+    from .metrics import eval_depth
+
+    patch_cfg = patch_from_args(args)
+    block_grid = grid_from_args(args, big=False)
+    big_grid = grid_from_args(args, big=True)
+    estimate = make_big_depth_estimator(modules, patch_cfg, block_grid, big_grid,
+                                        cam_from_args(args), args.n_margin_patch,
+                                        rho_prime=args.rho_prime)
+    ds = TestDataset(args.data_path)
+    n = len(ds) if max_images is None else min(max_images, len(ds))
+
+    img0, _ = ds[0]
+    jax.block_until_ready(estimate(jnp.asarray(img0)))
+
+    totals = np.zeros(5)
+    total_time = 0.0
+    for j in range(n):
+        img_ny, gt_depth = ds[j]
+        t0 = time.time()
+        out = estimate(jnp.asarray(img_ny))
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        total_time += dt
+        depth = np.asarray(out["depth_final"])
+        m = eval_depth(depth, gt_depth[None], depth > 0.0, crop=args.crop)
+        totals += np.asarray(m)
+        print(f"Image pair #{j}: delta1 ={m[0]: .3f}, delta2 ={m[1]: .3f}, "
+              f"delta3 ={m[2]: .3f}, RMSE ={m[3]: .3f} cm, AbsRel ={m[4]: .3f} cm, "
+              f"time ={dt: .3f} s", flush=True)
+        if visualizer is not None:
+            visualizer(j, img_ny, gt_depth, {k: np.asarray(v) for k, v in out.items()})
+
+    avg = totals / n
+    print(f"\nAverage running time:{total_time / n: .3f} s")
+    print(f"Average metrics for whole dataset: delta1 ={avg[0]: .3f}, "
+          f"delta2 ={avg[1]: .3f}, delta3 ={avg[2]: .3f}, RMSE ={avg[3]: .3f} cm, "
+          f"AbsRel ={avg[4]: .3f} cm", flush=True)
+    return dict(delta1=avg[0], delta2=avg[1], delta3=avg[2], rmse=avg[3],
+                absrel=avg[4], avg_time=total_time / n, pairs_per_sec=n / total_time)

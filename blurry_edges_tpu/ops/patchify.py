@@ -3,10 +3,13 @@
 The reference uses torch.nn.Unfold/Fold CUDA kernels everywhere
 (global_data_pre_cal.py:17, blurry_edges_test.py:120,
 utils/postprocessing_loss.py:139-173). Here unfold is
-``lax.conv_general_dilated_patches`` and fold is its exact linear transpose
-(``jax.linear_transpose``), which XLA lowers to a native transposed
-convolution / scatter-add - no Python loops, fully fusable, and adjointness
-holds bit-exactly by construction.
+``lax.conv_general_dilated_patches`` and fold is a stride-residue
+decomposition: patch offsets (di, dj) are grouped by (di % s, dj % s); within
+one residue class every offset lands on a disjoint output sub-grid shifted by
+(di // s, dj // s), so fold is a sum of statically-shifted slices - pure VPU
+adds, no scatter and no giant identity-kernel convolution (the naive
+transposed-conv lowering burns R^2 x more MXU FLOPs than needed and dominated
+the inference profile).
 
 Canonical patch layout: (N, Hp, Wp, R, R, C) - batch, patch-grid row/col,
 in-patch row/col, channel. NHWC throughout (TPU-friendly).
@@ -14,9 +17,6 @@ in-patch row/col, channel. NHWC throughout (TPU-friendly).
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -41,15 +41,6 @@ def unfold(img, R: int, stride: int):
     return jnp.transpose(patches, (0, 1, 2, 4, 5, 3))
 
 
-@functools.lru_cache(maxsize=32)
-def _fold_transpose(shape_key, R: int, stride: int, dtype_name: str):
-    N, H, W, C = shape_key
-    dtype = jnp.dtype(dtype_name)
-    return jax.linear_transpose(
-        lambda im: unfold(im, R, stride),
-        jax.ShapeDtypeStruct((N, H, W, C), dtype))
-
-
 def fold(patches, H: int, W: int, stride: int):
     """Overlap-add of patches back into an image - exact adjoint of
     :func:`unfold` (torch.nn.Fold semantics; reference
@@ -60,9 +51,23 @@ def fold(patches, H: int, W: int, stride: int):
     """
     N, Hp, Wp, R, R2, C = patches.shape
     assert R == R2
-    t = _fold_transpose((N, H, W, C), R, stride, jnp.dtype(patches.dtype).name)
-    (img,) = t(patches)
-    return img
+    s = stride
+    out = jnp.zeros((N, H, W, C), patches.dtype)
+    for a in range(min(s, R)):
+        for b in range(min(s, R)):
+            # offsets di = a + s*k land on output rows y = s*(i + k) + a
+            Ka = len(range(a, R, s))
+            Kb = len(range(b, R, s))
+            rows = (H - 1 - a) // s + 1  # sub-grid rows inside H
+            cols = (W - 1 - b) // s + 1
+            acc = jnp.zeros((N, max(Hp + Ka - 1, rows), max(Wp + Kb - 1, cols), C),
+                            patches.dtype)
+            for k in range(Ka):
+                for l in range(Kb):
+                    acc = acc.at[:, k:k + Hp, l:l + Wp, :].add(
+                        patches[:, :, :, a + s * k, b + s * l, :])
+            out = out.at[:, a::s, b::s, :].set(acc[:, :rows, :cols, :])
+    return out
 
 
 def fold_count(H: int, W: int, R: int, stride: int, dtype=jnp.float32):

@@ -1,0 +1,190 @@
+"""Depth-completion (densify 'pp') U-Net training.
+
+The reference uses a pretrained UNet at inference
+(blurry_edges_test.py:193-198, weights pretrained_depth_completion_pp.pth) but
+ships NO training script for it (SURVEY.md C11) - this module fills that gap.
+
+Two ways to build (sparse depth -> dense depth) training pairs:
+
+1. ``pipeline`` - the faithful option: run the trained local + global stages
+   over the basic-shape train/val images and use the confidence-thresholded
+   folded depth maps as inputs, the generator's dense image_depths as targets.
+2. ``simulated`` - self-contained: synthesize the pipeline's sparsity pattern
+   directly from ground truth (depth revealed only on a randomized
+   dilated-boundary band, plus dropout and noise), so the densifier can train
+   before/without the other stages.
+
+Training: AdamW, global-norm clip 1.0, masked-MSE on valid pixels, plateau LR,
+best-val checkpoint to pretrained-weights naming parity
+(best_run_exp_depth_completion_pp).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import UNet
+from .local import TrainState, make_optimizer, set_lr
+
+
+def make_sparse_from_gt(key, image_depth, boundary_loc, z_range=(0.75, 1.18)):
+    """Simulate the pipeline's sparse-depth observation pattern from ground
+    truth: depth visible only on a dilated boundary band (random width 3-10 px,
+    mimicking the fold of near-boundary patch depths), random pixel dropout,
+    and small multiplicative noise.
+
+    image_depth / boundary_loc: (H, W). Returns (sparse (H, W), valid mask)."""
+    from ..ops.morphology import distance_transform_l1
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    # random band width 3..10 px: threshold the L1 distance field at the
+    # sampled width (keeps shapes static for jit)
+    width = jax.random.randint(k1, (), 3, 11).astype(jnp.float32)
+    dist = distance_transform_l1(boundary_loc > 0,
+                                 max_iters=boundary_loc.shape[0] + boundary_loc.shape[1])
+    band = dist <= width
+    keep = jax.random.uniform(k2, image_depth.shape) > 0.15
+    noise = 1.0 + 0.02 * jax.random.normal(k3, image_depth.shape)
+    sparse = jnp.where(band & keep, image_depth * noise, 0.0)
+    return jnp.clip(sparse, 0.0, z_range[1]), band & keep
+
+
+def masked_mse(pred, target):
+    """MSE over all pixels (the dense target is defined everywhere for the
+    synthetic shape data)."""
+    return jnp.mean((pred - target) ** 2)
+
+
+def make_steps(model: UNet, tx):
+    @jax.jit
+    def train_step(state: TrainState, sparse, target):
+        def loss_fn(params):
+            pred, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                sparse[..., None], train=True, mutable=["batch_stats"])
+            return masked_mse(pred[..., 0], target), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, batch_stats=new_stats,
+                             opt_state=new_opt, step=state.step + 1), loss
+
+    @jax.jit
+    def eval_step(state: TrainState, sparse, target):
+        pred = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                           sparse[..., None], train=False)
+        return masked_mse(pred[..., 0], target)
+
+    return train_step, eval_step
+
+
+def init_state(model: UNet, key, lr: float, H: int, W: int) -> Tuple[TrainState, object]:
+    variables = model.init(key, jnp.zeros((1, H, W, 1)))
+    tx = make_optimizer(lr)
+    return TrainState(params=variables["params"], batch_stats=variables["batch_stats"],
+                      opt_state=tx.init(variables["params"]),
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
+                         lr: float = 1e-4, source: str = "simulated",
+                         modules=None) -> None:
+    """Train the densifier on the basic-shape train/val set."""
+    from tqdm import tqdm
+
+    from ..utils.io import TrainLogger, create_directory, show_curve
+    from ..utils.seeding import set_seed
+    from .checkpoint import save_checkpoint
+    from .schedules import PlateauScheduler
+
+    key = set_seed(1869)
+    create_directory(args.log_path, overwrite=False)
+
+    depths = {p: np.load(f"{args.data_path}/image_depths_{p}.npy").astype(np.float32)
+              for p in ("train", "val")}
+    bnds = {p: np.load(f"{args.data_path}/boundary_locations_{p}.npy").astype(np.float32)
+            for p in ("train", "val")}
+    H, W = depths["train"].shape[1:]
+
+    if source == "pipeline":
+        sparse_maps = {p: _pipeline_sparse_depths(args, p, modules) for p in ("train", "val")}
+    else:
+        sparse_maps = None
+
+    model = UNet()
+    state, tx = init_state(model, key, lr, H, W)
+    train_step, eval_step = make_steps(model, tx)
+    sched = PlateauScheduler(lr=lr, factor=0.9, patience=5, min_lr=lr * 0.1)
+    sparse_fn = jax.jit(jax.vmap(make_sparse_from_gt))
+
+    def batches(part, shuffle, seed):
+        n = depths[part].shape[0]
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - batch_size + 1, batch_size):
+            yield order[s:s + batch_size]
+
+    best, best_epoch = np.inf, 0
+    curve = np.zeros(epochs)
+    logger = TrainLogger(f"{args.log_path}/exp_depth_completion_training.txt", args)
+    for epoch in tqdm(range(epochs)):
+        for idx in batches("train", True, 1869 + epoch):
+            tgt = jnp.asarray(depths["train"][idx])
+            if sparse_maps is not None:
+                sp = jnp.asarray(sparse_maps["train"][idx])
+            else:
+                key, kb = jax.random.split(key)
+                sp, _ = sparse_fn(jax.random.split(kb, batch_size),
+                                  tgt, jnp.asarray(bnds["train"][idx]))
+            state, _ = train_step(state, sp, tgt)
+
+        val, nv = 0.0, 0
+        for idx in batches("val", False, 0):
+            tgt = jnp.asarray(depths["val"][idx])
+            if sparse_maps is not None:
+                sp = jnp.asarray(sparse_maps["val"][idx])
+            else:
+                kb = jax.random.PRNGKey(idx[0])
+                sp, _ = sparse_fn(jax.random.split(kb, batch_size),
+                                  tgt, jnp.asarray(bnds["val"][idx]))
+            val += float(eval_step(state, sp, tgt))
+            nv += 1
+        curve[epoch] = val / max(nv, 1)
+        lr_now = sched.step(curve[epoch])
+        state = state.replace(opt_state=set_lr(state.opt_state, lr_now))
+        logger.epoch(epoch, curve[epoch], sched.patience, lr_now)
+        if curve[epoch] < best:
+            best, best_epoch = curve[epoch], epoch
+            save_checkpoint(f"{args.model_path}/best_run_exp_depth_completion_pp",
+                            {"params": state.params, "batch_stats": state.batch_stats})
+
+    np.save(f"{args.log_path}/loss_curve_exp_depth_completion.npy", curve)
+    show_curve(args.log_path, curve, "loss_curve_exp_depth_completion")
+    logger.footer(best_epoch, best)
+    logger.close()
+
+
+def _pipeline_sparse_depths(args, part: str, modules) -> np.ndarray:
+    """Run the trained local+global pipeline over the shape images to produce
+    the faithful confidence-thresholded sparse depth inputs."""
+    from ..config import cam_from_args, grid_from_args, patch_from_args
+    from ..data.datasets import ShapeDataset
+    from ..eval.pipeline import make_depth_estimator
+
+    assert modules is not None, "source='pipeline' needs trained InferenceModules"
+    estimate = make_depth_estimator(modules, patch_from_args(args),
+                                    grid_from_args(args), cam_from_args(args),
+                                    densify=None)
+    ds = ShapeDataset(args.data_path, train=part == "train", mode="global_pre")
+    out = []
+    for i in range(len(ds)):
+        img = ds.batch(np.array([i]))["img_ny"][0]
+        out.append(np.asarray(estimate(jnp.asarray(img))["depth_final"][0]))
+    return np.stack(out)

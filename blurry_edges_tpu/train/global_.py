@@ -1,0 +1,279 @@
+"""Global-stage training harness: the 7-term patch-grid loss and its optimizer
+loop.
+
+Parity with reference global_training.py:11-225: shared wedge geometry + per-
+image blur levels rendered over the whole 64x64 patch grid, a joint ridge
+color solve across the image pair, DfD depth supervision on near-boundary
+pixels, color / boundary / smoothness consistency terms against the
+stop-gradient folded global maps, the two-phase gamma schedule, AdamW lr 1e-4
+batch 8, grad clip 1.0, ReduceLROnPlateau(factor .975, patience 5, min 50%)
+stepped only after epoch >= dynamic_epoch[1], best-val checkpointing, seed
+1898. Training solves colors on the clean images while validation solves on
+the noisy ones (reference :210 vs :166) - reproduced.
+
+Layouts are grid-leading NHWC: params (B, Hp, Wp, k), fields
+(B, [2,] Hp, Wp, R, R[, C]), so every wedge op broadcasts directly and XLA
+sees one fused patch-grid program per step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import GridConfig, PatchConfig
+from ..models import GlobalStage
+from ..ops import (boundary_map, depth_masks, dists2indicators, fold, fold_count,
+                   make_patch_grid, params2dists, render_patches, solve_colors,
+                   unfold)
+from ..ops.dfd import DfDSolver
+from ..ops.params import denormalize_global_train
+from ..ops.sobel import image_derivative
+from .local import TrainState, make_optimizer, set_lr, xavier_reinit
+
+GAMMA_ORDER = ("color", "color_cons", "bndry_cons", "smthns", "smthns_cons",
+               "bndry_loc", "depth")
+
+
+def gammas_to_array(g: Dict[str, float]) -> jnp.ndarray:
+    return jnp.asarray([g[k] for k in GAMMA_ORDER], jnp.float32)
+
+
+def render_pair_grid(xy_angles, etas, img_patches, patch_cfg: PatchConfig):
+    """Shared geometry + per-image blur -> rendered pair patches with a joint
+    color solve (reference global_training.py:62-78).
+
+    xy_angles: (B, Hp, Wp, 8); etas: (B, Hp, Wp, 4) ordered
+    (img1 wedge1, img1 wedge2, img2 wedge1, img2 wedge2);
+    img_patches: (B, 2, Hp, Wp, R, R, 3).
+
+    Returns (patches (B,2,Hp,Wp,R,R,3), wedges_pair (B,2,Hp,Wp,3,R,R),
+    colors (B,Hp,Wp,3,3), dists (B,Hp,Wp,2,R,R)).
+    """
+    R = patch_cfg.R
+    x, y = make_patch_grid(R, xy_angles.dtype)
+    dists = params2dists(xy_angles, x, y, patch_cfg.w)
+    w1 = dists2indicators(dists, etas[..., 0:2])
+    w2 = dists2indicators(dists, etas[..., 2:4])
+    wedges_pair = jnp.stack([w1, w2], axis=1)              # (B,2,Hp,Wp,3,R,R)
+
+    # joint ridge solve across the pair: design matrix stacks both images' pixels
+    A = jnp.moveaxis(wedges_pair, -3, -1)                  # (B,2,Hp,Wp,R,R,3)
+    A = jnp.moveaxis(A, 1, 3)                              # (B,Hp,Wp,2,R,R,3)
+    A = A.reshape(A.shape[:3] + (2 * R * R, 3))
+    yv = jnp.moveaxis(img_patches, 1, 3).reshape(A.shape[:3] + (2 * R * R, 3))
+    colors = solve_colors(A, yv, patch_cfg.lambda_ridge)   # (B,Hp,Wp,3,3)
+
+    patches = render_patches(wedges_pair, colors[:, None])  # (B,2,Hp,Wp,R,R,3)
+    return patches, wedges_pair, colors, dists
+
+
+def depth_from_etas(etas, dists, dfd: DfDSolver, hard_mask: bool = False):
+    """Per-patch DfD depth map + wedge-assignment mask (reference
+    global_training.py:84-90)."""
+    d1 = dfd.etas2depth(etas[..., 0], etas[..., 2])        # (B,Hp,Wp)
+    d2 = dfd.etas2depth(etas[..., 1], etas[..., 3])
+    mask = depth_masks(dists, hard=hard_mask)              # (B,Hp,Wp,R,R) int
+    depth = jnp.where(mask == 1, d1[..., None, None],
+                      jnp.where(mask == 2, d2[..., None, None], 0.0))
+    return depth, mask, d1, d2
+
+
+def _fold_mean(patches_rrc, H, W, stride, count):
+    """fold + overlap normalization; patches (..., Hp, Wp, R, R, C)."""
+    lead = patches_rrc.shape[:-5]
+    flat = patches_rrc.reshape((-1,) + patches_rrc.shape[-5:])
+    out = fold(flat, H, W, stride) / count[None, :, :, None]
+    return out.reshape(lead + (H, W, patches_rrc.shape[-1]))
+
+
+def global_loss(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
+                gammas, patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
+    """The 7-term loss (reference global_training.py:93-157).
+
+    est: (B, L, 12) raw global-stage outputs; images (B, 2, H, W, 3);
+    bndry_dist / bndry_depth: (B, H, W); deri: (B, 2, H-2, W-2, 3);
+    gammas: (7,) in GAMMA_ORDER.
+    """
+    B = est.shape[0]
+    Hp, Wp, R, H, W, stride = (grid.H_patches, grid.W_patches, grid.R,
+                               grid.H, grid.W, grid.stride)
+    est = est.reshape(B, Hp, Wp, 12)
+    xy_angles, etas = denormalize_global_train(est)
+
+    img_patches = unfold(img_for_colors.reshape(B * 2, H, W, 3), R, stride)
+    img_patches = img_patches.reshape(B, 2, Hp, Wp, R, R, 3)
+    gt_patches = unfold(img_gt.reshape(B * 2, H, W, 3), R, stride)
+    gt_patches = gt_patches.reshape(B, 2, Hp, Wp, R, R, 3)
+
+    patches, _, _, dists = render_pair_grid(xy_angles, etas, img_patches, patch_cfg)
+    local_bndry = boundary_map(dists)                       # (B,Hp,Wp,R,R)
+    depth_map, depth_mask, _, _ = depth_from_etas(etas, dists, dfd)
+
+    count = fold_count(H, W, R, stride, est.dtype)
+    global_image = jax.lax.stop_gradient(_fold_mean(patches, H, W, stride, count))
+    global_bndry = jax.lax.stop_gradient(
+        _fold_mean(local_bndry[..., None], H, W, stride, count))[..., 0]
+
+    # 1) color (reference :130)
+    t_color = jnp.mean(jnp.sum((gt_patches - patches) ** 2, axis=-1))
+
+    # 2) color consistency vs detached folded pair (reference :95-99)
+    gi_patches = unfold(global_image.reshape(B * 2, H, W, 3), R, stride)
+    gi_patches = gi_patches.reshape(B, 2, Hp, Wp, R, R, 3)
+    t_color_cons = jnp.mean(jnp.sum((patches - gi_patches) ** 2, axis=-1))
+
+    # 3) boundary consistency vs detached folded boundary (reference :101-105)
+    gb_patches = unfold(global_bndry[..., None], R, stride)[..., 0]
+    t_bndry_cons = jnp.mean((local_bndry - gb_patches) ** 2)
+
+    # 4-5) smoothness and smoothness consistency (reference :107-116)
+    patches_deri = image_derivative(patches)                # (B,2,Hp,Wp,R-2,R-2,3)
+    gt_deri_patches = unfold(deri.reshape(B * 2, H - 2, W - 2, 3), R - 2, stride)
+    gt_deri_patches = gt_deri_patches.reshape(B, 2, Hp, Wp, R - 2, R - 2, 3)
+    gi_deri = image_derivative(global_image.reshape(B * 2, H, W, 3))
+    gi_deri_patches = unfold(gi_deri, R - 2, stride).reshape(B, 2, Hp, Wp, R - 2, R - 2, 3)
+    t_smthns = jnp.mean(jnp.sum((patches_deri - gt_deri_patches) ** 2, axis=-1))
+    t_smthns_cons = jnp.mean(jnp.sum((patches_deri - gi_deri_patches) ** 2, axis=-1))
+
+    # 6) boundary localization with log2 distance weighting (reference :118-122)
+    bd_patches = unfold(jnp.log2(bndry_dist + 1.0)[..., None], R, stride)[..., 0]
+    t_bndry_loc = jnp.mean((bd_patches * local_bndry) ** 2)
+
+    # 7) masked depth MSE on GT boundary-depth pixels (reference :124-128)
+    bdep_patches = unfold(bndry_depth[..., None], R, stride)[..., 0]
+    dmask = jnp.where(bdep_patches == 0, 0.0,
+                      jnp.where(depth_mask == 0, 0.0, 1.0))
+    t_depth = jnp.sum(((depth_map - bdep_patches) * dmask) ** 2) / jnp.sum(dmask)
+
+    terms = jnp.stack([t_color, t_color_cons, t_bndry_cons, t_smthns,
+                       t_smthns_cons, t_bndry_loc, t_depth])
+    return jnp.sum(gammas * terms)
+
+
+def tokens_from_params_src(params_src):
+    """params_src (B, 2, L, 19) -> global-stage input (B, L, 38) (reference
+    global_training.py:208 permute+flatten)."""
+    B, _, L, F = params_src.shape
+    return jnp.moveaxis(params_src, 1, 2).reshape(B, L, 2 * F)
+
+
+def make_steps(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
+               dfd: DfDSolver):
+    @jax.jit
+    def train_step(state: TrainState, batch, gammas, dropout_key):
+        def loss_fn(params):
+            est = model.apply({"params": params},
+                              tokens_from_params_src(batch["input_param"]),
+                              train=True, rngs={"dropout": dropout_key})
+            # reference quirk: colors solved on clean images during training (:210)
+            return global_loss(est, batch["img_gt"], batch["img_gt"],
+                               batch["bndry_dist"], batch["deri"],
+                               batch["bndry_depth"], gammas, patch_cfg, grid, dfd)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=new_opt,
+                             step=state.step + 1), loss
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, gammas):
+        est = model.apply({"params": state.params},
+                          tokens_from_params_src(batch["input_param"]), train=False)
+        return global_loss(est, batch["img_ny"], batch["img_gt"],
+                           batch["bndry_dist"], batch["deri"],
+                           batch["bndry_depth"], gammas, patch_cfg, grid, dfd)
+
+    return train_step, eval_step
+
+
+def init_state(model: GlobalStage, key, lr: float, L: int) -> Tuple[TrainState, object]:
+    k_init, k_xavier = jax.random.split(key)
+    variables = model.init(k_init, jnp.zeros((1, L, model.in_parameter_size)))
+    params = xavier_reinit(variables["params"], k_xavier)
+    tx = make_optimizer(lr)
+    return TrainState(params=params, batch_stats={}, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def gamma_ranges_from_args(args) -> Dict[str, tuple]:
+    return {"color": tuple(args.gamma_color),
+            "color_cons": tuple(args.gamma_color_cons),
+            "bndry_cons": tuple(args.gamma_bndry_cons),
+            "smthns": tuple(args.gamma_smthns),
+            "smthns_cons": tuple(args.gamma_smthns_cons),
+            "bndry_loc": tuple(args.gamma_bndry_loc),
+            "depth": tuple(args.gamma_depth)}
+
+
+def run_global_training(args) -> None:
+    """CLI harness (reference global_training.py:173-225)."""
+    from tqdm import tqdm
+
+    from ..config import cam_from_args, grid_from_args, patch_from_args
+    from ..data.datasets import BatchIterator, ShapeDataset
+    from ..utils.io import TrainLogger, create_directory, show_curve
+    from ..utils.seeding import set_seed
+    from . import schedules
+    from .checkpoint import save_checkpoint
+
+    key = set_seed(1898, deterministic=True)
+    create_directory(args.log_path, overwrite=False)
+    patch_cfg = patch_from_args(args)
+    grid = grid_from_args(args)
+    dfd = DfDSolver.from_config(cam_from_args(args), patch_cfg)
+
+    ds_train = ShapeDataset(args.data_path, train=True, mode="global")
+    ds_val = ShapeDataset(args.data_path, train=False, mode="global")
+    it_train = BatchIterator(len(ds_train), args.batch_size, shuffle=True, seed=1898)
+    it_val = BatchIterator(len(ds_val), args.batch_size, shuffle=False)
+
+    model = GlobalStage(in_parameter_size=args.input_size,
+                        out_parameter_size=args.output_size)
+    state, tx = init_state(model, key, args.learning_rate, grid.num_tokens)
+    train_step, eval_step = make_steps(model, tx, patch_cfg, grid, dfd)
+    sched = schedules.PlateauScheduler(lr=args.learning_rate, factor=0.975,
+                                       patience=5, min_lr=args.learning_rate * 0.5)
+
+    ranges = gamma_ranges_from_args(args)
+    final_g = gammas_to_array(schedules.final_gamma(ranges))
+    best_loss, best_epoch = np.inf, 0
+    curve = np.zeros((args.epoch_num,), dtype=float)
+    logger = TrainLogger(f"{args.log_path}/exp_global_stage_training.txt", args)
+
+    for epoch in tqdm(range(args.epoch_num)):
+        gammas = gammas_to_array(schedules.gamma_schedule(epoch, args.dynamic_epoch, ranges))
+        for idx in it_train:
+            key, kd = jax.random.split(key)
+            batch = {k: jnp.asarray(v) for k, v in ds_train.batch(idx).items()}
+            state, _ = train_step(state, batch, gammas, kd)
+
+        val_total = 0.0
+        for idx in it_val:
+            batch = {k: jnp.asarray(v) for k, v in ds_val.batch(idx).items()}
+            val_total += float(eval_step(state, batch, final_g))
+        curve[epoch] = val_total / len(it_val)
+
+        logger.epoch(epoch, curve[epoch], sched.patience,
+                     sched.lr)
+        if curve[epoch] < best_loss:
+            best_loss, best_epoch = curve[epoch], epoch
+            save_checkpoint(f"{args.model_path}/best_run_exp_global_stage",
+                            {"params": state.params})
+        # LR scheduler only active after the second schedule phase begins
+        # (reference global_training.py:220-221)
+        if epoch >= args.dynamic_epoch[1]:
+            lr = sched.step(curve[epoch])
+            state = state.replace(opt_state=set_lr(state.opt_state, lr))
+
+    np.save(f"{args.log_path}/loss_curve_exp_global_stage.npy", curve)
+    show_curve(args.log_path, curve, "loss_curve_exp_global_stage")
+    logger.footer(best_epoch, best_loss)
+    logger.close()

@@ -1,0 +1,98 @@
+"""Global pre-calculation: cache the frozen local stage's per-patch parameters
++ solved colors as normalized global-stage input tokens.
+
+Parity: reference global_data_pre_cal.py:10-70 - per image pair, unfold into
+2 * Hp * Wp patches (stride 2), run the local CNN, wrap angles, solve wedge
+colors per patch on the noisy patches, normalize to 19 features, and save
+params_src_{train,val}.npy of shape (N, 2, Hp*Wp, 19).
+
+TPU-first: the whole per-pair chain (unfold -> CNN over 8,192 patches ->
+wedge render -> ridge solve -> normalize) is one jitted function, vmapped over
+a device batch of image pairs (the reference loops pairs with batch_size=1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GridConfig, PatchConfig
+from ..models import LocalStage
+from ..ops import (dists2indicators, make_patch_grid, params2dists, params2etas,
+                   solve_colors, unfold)
+from ..ops.params import normalize_token_features, wrap_local_params
+
+
+def solve_patch_colors(params, patch_pixels, patch_cfg: PatchConfig):
+    """Per-patch ridge color solve from wrapped local params (reference
+    global_data_pre_cal.py:38-50).
+
+    params: (..., 10); patch_pixels: (..., R, R, 3) -> colors (..., 3, 3).
+    """
+    x, y = make_patch_grid(patch_cfg.R, params.dtype)
+    dists = params2dists(params[..., :8], x, y, patch_cfg.w)
+    etas = params2etas(params[..., 8:])
+    wedges = dists2indicators(dists, etas)
+    A = jnp.moveaxis(wedges, -3, -1).reshape(wedges.shape[:-3] + (patch_cfg.R**2, 3))
+    yv = patch_pixels.reshape(patch_pixels.shape[:-3] + (patch_cfg.R**2, 3))
+    return solve_colors(A, yv, patch_cfg.lambda_ridge)
+
+
+def local_tokens(model: LocalStage, variables, img_pair, patch_cfg: PatchConfig,
+                 grid: GridConfig):
+    """One image pair -> (2, Hp*Wp, 19) normalized global-stage tokens and the
+    wrapped raw params (2, Hp*Wp, 10).
+
+    img_pair: (2, H, W, 3), already alpha-normalized.
+    """
+    Hp, Wp, L = grid.H_patches, grid.W_patches, grid.num_tokens
+    patches = unfold(img_pair, grid.R, grid.stride)          # (2, Hp, Wp, R, R, 3)
+    flat = patches.reshape(2 * L, grid.R, grid.R, 3)
+    est = model.apply(variables, flat, train=False)          # (2L, 10)
+    params = wrap_local_params(est)
+    colors = solve_patch_colors(params, flat, patch_cfg)     # (2L, 3, 3)
+    tokens = normalize_token_features(params, colors)        # (2L, 19)
+    return tokens.reshape(2, L, 19), params.reshape(2, L, 10)
+
+
+def make_precal_fn(model: LocalStage, patch_cfg: PatchConfig, grid: GridConfig):
+    """Jitted, image-batch-vmapped precal: (variables, (B, 2, H, W, 3)) ->
+    (B, 2, Hp*Wp, 19)."""
+
+    @jax.jit
+    def fn(variables, img_pairs):
+        return jax.vmap(
+            lambda p: local_tokens(model, variables, p, patch_cfg, grid)[0]
+        )(img_pairs)
+
+    return fn
+
+
+def run_global_precal(args, device_batch: int = 8) -> None:
+    """CLI harness (reference global_data_pre_cal.py:52-70)."""
+    from tqdm import tqdm
+
+    from ..config import grid_from_args, patch_from_args
+    from ..data.datasets import ShapeDataset
+    from .checkpoint import load_checkpoint
+
+    patch_cfg = patch_from_args(args)
+    grid = grid_from_args(args)
+    model = LocalStage()
+    ckpt = load_checkpoint(f"{args.model_path}/pretrained_local_stage")
+    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    fn = make_precal_fn(model, patch_cfg, grid)
+
+    for train, part in ((True, "train"), (False, "val")):
+        ds = ShapeDataset(args.data_path, train=train, mode="global_pre")
+        n = len(ds)
+        out = np.zeros((n, 2, grid.num_tokens, 19), dtype=np.float32)
+        for s in tqdm(range(0, n, device_batch), desc=f"precal {part}"):
+            e = min(n, s + device_batch)
+            batch = ds.batch(np.arange(s, e))["img_ny"]
+            out[s:e] = np.asarray(fn(variables, jnp.asarray(batch)))
+        np.save(f"{args.data_path}/params_src_{part}.npy", out)

@@ -1,0 +1,74 @@
+"""Weight loading for the inference pipelines.
+
+Resolution order per stage (reference filename conventions,
+blurry_edges_test.py:183-198):
+1. orbax checkpoint directory  <model_path>/<name>          (our training output)
+2. torch state_dict            <model_path>/<name>.pth      (reference weights,
+   converted on the fly via utils.torch_convert)
+3. seeded random init          (when allow_random=True; lets pipelines and
+   benchmarks run without trained weights)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .. import models
+from ..config import GridConfig
+from . import torch_convert as tc
+
+
+def _to_jnp(tree):
+    return jax.tree.map(jnp.asarray, tree)
+
+
+def _load_stage(model_path: str, name: str, convert_fn, init_fn, allow_random: bool):
+    from ..train.checkpoint import checkpoint_exists, load_checkpoint
+
+    ckpt_dir = os.path.join(model_path, name)
+    pth = os.path.join(model_path, f"{name}.pth")
+    if checkpoint_exists(ckpt_dir):
+        return _to_jnp(load_checkpoint(ckpt_dir))
+    if os.path.exists(pth):
+        converted = convert_fn(tc.load_pth(pth))
+        if isinstance(converted, tuple):
+            return {"params": _to_jnp(converted[0]), "batch_stats": _to_jnp(converted[1])}
+        return {"params": _to_jnp(converted)}
+    if allow_random:
+        return init_fn()
+    raise FileNotFoundError(f"no weights for {name} under {model_path}")
+
+
+def load_inference_modules(args, densify=None, allow_random: bool = False):
+    from ..eval.pipeline import InferenceModules
+
+    grid = GridConfig(H=args.img_size[0], W=args.img_size[1], R=args.R,
+                      stride=getattr(args, "stride", 2))
+    key = jax.random.PRNGKey(0)
+    local = models.LocalStage()
+    glob = models.GlobalStage()
+
+    local_vars = _load_stage(
+        args.model_path, "pretrained_local_stage", tc.convert_local_stage,
+        lambda: local.init(key, jnp.zeros((1, args.R, args.R, 3))), allow_random)
+
+    # densify 'w' uses its own global-stage weights (blurry_edges_test.py:186-191)
+    gname = "pretrained_global_stage_w" if densify == "w" else "pretrained_global_stage"
+    global_vars = _load_stage(
+        args.model_path, gname, tc.convert_global_stage,
+        lambda: glob.init(key, jnp.zeros((1, grid.num_tokens, 38))), allow_random)
+
+    unet_model, unet_vars = None, None
+    if densify == "pp":
+        unet_model = models.UNet()
+        unet_vars = _load_stage(
+            args.model_path, "pretrained_depth_completion_pp", tc.convert_unet,
+            lambda: unet_model.init(key, jnp.zeros((1, grid.H, grid.W, 1))),
+            allow_random)
+
+    return InferenceModules(local_model=local, local_vars=local_vars,
+                            global_model=glob, global_vars=global_vars,
+                            unet_model=unet_model, unet_vars=unet_vars)

@@ -6,6 +6,9 @@ import sys
 
 # Must run before any jax import in the test session.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Cap OpenMP: torch's OMP pool can deadlock against XLA's CPU thread pool when
+# both run in one process (observed intermittent wait_woken hangs).
+os.environ.setdefault("OMP_NUM_THREADS", "2")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

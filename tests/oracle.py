@@ -16,7 +16,10 @@ def available() -> bool:
     if not os.path.isdir(REF_ROOT):
         return False
     try:
-        import torch  # noqa: F401
+        import torch
+        # cap torch's intra-op pool: a large OpenMP pool can deadlock against
+        # XLA's CPU thread pool when both run in one test process
+        torch.set_num_threads(4)
         return True
     except ImportError:
         return False
@@ -27,6 +30,27 @@ def load_module(relpath: str, name: str):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def load_top_level(relpath: str, name: str):
+    """Load a reference top-level script that imports the reference's sibling
+    packages (data/models/utils). Temporarily puts /root/reference first on
+    sys.path and evicts the package names afterwards so nothing leaks into the
+    test session."""
+    import sys
+
+    touched = [m for m in list(sys.modules)
+               if m in ("data", "models", "utils") or m.startswith(("data.", "models.", "utils."))]
+    saved = {m: sys.modules.pop(m) for m in touched}
+    sys.path.insert(0, REF_ROOT)
+    try:
+        return load_module(relpath, name)
+    finally:
+        sys.path.remove(REF_ROOT)
+        for m in [m for m in list(sys.modules)
+                  if m in ("data", "models", "utils") or m.startswith(("data.", "models.", "utils."))]:
+            del sys.modules[m]
+        sys.modules.update(saved)
 
 
 def make_args(**overrides) -> types.SimpleNamespace:

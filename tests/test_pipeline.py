@@ -1,0 +1,86 @@
+"""End-to-end inference parity: the full jitted pipeline (local CNN -> token
+normalize -> global transformer -> wedge render -> DfD -> folds -> densify)
+against the reference blurry_edges_test.py chain with identical (converted)
+weights and identical input.
+
+The torch oracle runs in a spawned subprocess: torch's and XLA-CPU's thread
+pools deadlock intermittently when sharing a process (futex hangs observed in
+tf_XLAEigen + python threads)."""
+
+import multiprocessing as mp
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blurry_edges_tpu.config import CamConfig, GridConfig, PatchConfig
+from blurry_edges_tpu.eval.pipeline import InferenceModules, make_depth_estimator
+from blurry_edges_tpu import models
+from blurry_edges_tpu.utils import torch_convert as tc
+
+from . import oracle
+from .pipeline_oracle_worker import H, R, STRIDE, main as worker_main
+
+rng = np.random.default_rng(8)
+
+GRID = GridConfig(H=H, W=H, R=R, stride=STRIDE)
+PATCH = PatchConfig()
+CAM = CamConfig()
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle unavailable")
+class TestInferenceParity:
+    @classmethod
+    def setup_class(cls):
+        cls.img = rng.uniform(0, 1, size=(2, H, H, 3)).astype(np.float32)
+
+        ctx = mp.get_context("spawn")
+        parent, child = ctx.Pipe()
+        proc = ctx.Process(target=worker_main, args=(child, cls.img))
+        proc.start()
+        status, payload = parent.recv()
+        proc.join(timeout=60)
+        assert status == "ok", payload
+        sd_local, sd_global, cls.ref_outputs = payload
+
+        lp, ls = tc.convert_local_stage(sd_local)
+        gp = tc.convert_global_stage(sd_global)
+        cls.mods = InferenceModules(
+            local_model=models.LocalStage(),
+            local_vars={"params": jax.tree.map(jnp.asarray, lp),
+                        "batch_stats": jax.tree.map(jnp.asarray, ls)},
+            global_model=models.GlobalStage(),
+            global_vars={"params": jax.tree.map(jnp.asarray, gp)})
+
+    @pytest.mark.parametrize("densify", [None, "w"])
+    def test_full_pipeline_parity(self, densify):
+        estimate = make_depth_estimator(self.mods, PATCH, GRID, CAM,
+                                        densify=densify, rho_prime=10.39)
+        with jax.default_matmul_precision("highest"):
+            ours = estimate(jnp.asarray(self.img))
+        theirs = self.ref_outputs[str(densify)]
+
+        npt.assert_allclose(np.asarray(ours["global_image"]).transpose(0, 1, 4, 2, 3),
+                            theirs["global_image"], rtol=5e-3, atol=5e-3)
+        npt.assert_allclose(np.asarray(ours["global_shpd"]).transpose(0, 3, 1, 2),
+                            theirs["global_shpd"], rtol=5e-3, atol=5e-3)
+        npt.assert_allclose(np.asarray(ours["global_refoc"]).transpose(0, 3, 1, 2),
+                            theirs["global_refoc"], rtol=5e-3, atol=2e-2)
+        npt.assert_allclose(np.asarray(ours["global_bndry"]),
+                            theirs["global_bndry"][:, 0], rtol=5e-3, atol=5e-3)
+        # depth / confidence involve hard thresholds: tiny float diffs can flip
+        # borderline pixels, so require agreement on 99% of pixels
+        dd = np.abs(np.asarray(ours["global_depth"]) - theirs["global_depth"])
+        assert np.quantile(dd, 0.99) < 5e-3, (densify, np.quantile(dd, 0.99))
+        cd = np.abs(np.asarray(ours["confidence"]) - theirs["confidence"])
+        assert np.quantile(cd, 0.99) < 5e-3, (densify, np.quantile(cd, 0.99))
+
+        # final densified map: threshold semantics
+        thres = 0.0 if densify == "w" else 0.05
+        exp_final = np.where(theirs["confidence"] > thres,
+                             theirs["global_depth"], 0.0)
+        fd = np.abs(np.asarray(ours["depth_final"]) - exp_final)
+        assert np.quantile(fd, 0.99) < 5e-3
