@@ -144,10 +144,13 @@ def make_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
     return estimate
 
 
-def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None) -> dict:
+def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
+             profile_dir: Optional[str] = None) -> dict:
     """Dataset evaluation loop with per-image metrics, wall-clock timing of
     the jitted region, and dataset averages (reference
-    blurry_edges_test.py:102-172)."""
+    blurry_edges_test.py:102-172). ``profile_dir`` captures a jax.profiler
+    trace of the timed loop (the reference only has wall-clock prints,
+    SURVEY.md section 5.1)."""
     from ..config import cam_from_args, grid_from_args, patch_from_args
     from ..data.datasets import TestDataset
     from .metrics import eval_depth
@@ -162,6 +165,9 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None) 
     # compile outside the timed region (the reference pays this on image #0)
     img0, _ = ds[0]
     jax.block_until_ready(estimate(jnp.asarray(img0)))
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
     totals = np.zeros(5)
     total_time = 0.0
@@ -182,6 +188,9 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None) 
               f"time ={dt: .3f} s", flush=True)
         if visualizer is not None:
             visualizer(j, img_ny, gt_depth, {k: np.asarray(v) for k, v in out.items()})
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     avg = totals / n
     print(f"\nAverage running time:{total_time / n: .3f} s")

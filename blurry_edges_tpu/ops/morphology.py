@@ -47,15 +47,54 @@ def dilate_full_n(mask, n: int):
     return (out > 0).reshape(mask.shape)
 
 
-def distance_transform_l1(boundary_mask, max_iters: int):
-    """BFS (city-block / L1) distance to the boundary set via iterated
-    4-connected dilation (reference train_val_data_generator.py:98-109,
-    238-250): boundary pixels get 0, each dilation ring k gets distance k.
-    If the mask is empty, the whole map is +1 (the reference's
+def _minplus_1d(f, axis: int):
+    """Exact 1-D L1 distance transform along ``axis``:
+    out[j] = min_j' (f[j'] + |j - j'|), via two directional min-plus prefix
+    scans, each a log-depth ``lax.associative_scan`` (TPU-friendly: ~2 log n
+    parallel steps instead of n sequential dilations).
+
+    The monoid carries (value-at-right-edge, segment-length): combining
+    segments s1, s2 gives min(v1 + len2, v2) - plain min(a+1, b) would only be
+    correct for a sequential scan."""
+    ones = jnp.ones_like(f)
+
+    def combine(a, b):
+        va, la = a
+        vb, lb = b
+        return jnp.minimum(va + lb, vb), la + lb
+
+    fwd, _ = lax.associative_scan(combine, (f, ones), axis=axis)
+    bwd, _ = lax.associative_scan(combine, (f, ones), axis=axis, reverse=True)
+    return jnp.minimum(fwd, bwd)
+
+
+def distance_transform_l1(boundary_mask, max_iters: int = 0):
+    """City-block (L1) distance to the boundary set. Semantics parity with the
+    reference's iterated 4-connected dilation BFS
+    (train_val_data_generator.py:98-109, 238-250): boundary pixels get 0, ring
+    k gets k; an empty mask yields all ones (the reference's
     ``dist_blank *= -1`` fallback).
+
+    Computed exactly by the separable min-plus decomposition
+    D(i,j) = min_{i'} ( min_{j'} (f(i',j') + |j-j'|) + |i-i'| )
+    with log-depth associative scans - O(log n) parallel steps instead of the
+    O(H+W) sequential dilation wavefront. ``max_iters`` is accepted for
+    backward compatibility and ignored.
 
     boundary_mask: (H, W) bool -> (H, W) float32.
     """
+    del max_iters
+    H, W = boundary_mask.shape
+    inf = jnp.float32(H + W + 2)
+    f = jnp.where(boundary_mask, 0.0, inf)
+    dist = _minplus_1d(_minplus_1d(f, axis=1), axis=0)
+    has_any = jnp.any(boundary_mask)
+    return jnp.where(has_any, dist, 1.0)
+
+
+def distance_transform_l1_bfs(boundary_mask, max_iters: int):
+    """The literal iterated-dilation formulation (reference semantics spec);
+    kept as the cross-check oracle for :func:`distance_transform_l1`."""
     dist0 = jnp.where(boundary_mask, 0.0, -1.0)
 
     def cond(state):

@@ -193,13 +193,26 @@ def solve_colors(wedges, pixels, lambda_ridge: float):
     Returns:
       colors: (..., 3, C) = (A^T A + lambda I)^{-1} A^T y
       (reference local_training.py:36-40, global_training.py:62-67).
+
+    The 3-column Gram products are unrolled into per-column reductions: a
+    batched (3, N) x (N, 3) matmul pads both tiny dims to the 128-wide MXU
+    tile and wastes ~99% of the systolic array; explicit multiply-reduce runs
+    on the VPU at full utilization.
     """
-    dt = wedges.dtype
-    hp = jax.lax.Precision.HIGHEST
-    At_A = jnp.matmul(jnp.swapaxes(wedges, -1, -2), wedges, precision=hp)
-    At_y = jnp.matmul(jnp.swapaxes(wedges, -1, -2), pixels, precision=hp)
-    ridge = lambda_ridge * jnp.eye(3, dtype=dt)
-    return jnp.matmul(inverse_3x3(At_A + ridge), At_y, precision=hp)
+    a = tuple(wedges[..., k] for k in range(3))  # each (..., N)
+    gram = {}
+    for i in range(3):
+        for j in range(i, 3):
+            gram[(i, j)] = jnp.sum(a[i] * a[j], axis=-1)
+    At_A = jnp.stack([
+        jnp.stack([gram[(min(i, j), max(i, j))] for j in range(3)], axis=-1)
+        for i in range(3)], axis=-2)                                  # (..., 3, 3)
+    At_y = jnp.stack([jnp.sum(a[i][..., None] * pixels, axis=-2)
+                      for i in range(3)], axis=-2)                    # (..., 3, C)
+    ridge = lambda_ridge * jnp.eye(3, dtype=wedges.dtype)
+    inv = inverse_3x3(At_A + ridge)
+    # (..., 3, 3) @ (..., 3, C) unrolled the same way
+    return jnp.sum(inv[..., :, :, None] * At_y[..., None, :, :], axis=-2)
 
 
 def render_patches(wedges, colors):
@@ -211,6 +224,8 @@ def render_patches(wedges, colors):
 
     Returns:
       (..., R, R, C) rendered patch (reference local_training.py:41,
-      global_training.py:69-78).
+      global_training.py:69-78). Unrolled over the 3 wedges: a k=3
+      contraction would otherwise lower to an MXU matmul padded 3 -> 128.
     """
-    return jnp.einsum("...krc,...kd->...rcd", wedges, colors)
+    return sum(wedges[..., k, :, :, None] * colors[..., k, None, None, :]
+               for k in range(3))

@@ -213,8 +213,9 @@ def gamma_ranges_from_args(args) -> Dict[str, tuple]:
             "depth": tuple(args.gamma_depth)}
 
 
-def run_global_training(args) -> None:
-    """CLI harness (reference global_training.py:173-225)."""
+def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> None:
+    """CLI harness (reference global_training.py:173-225), plus full
+    train-state snapshot/resume."""
     from tqdm import tqdm
 
     from ..config import cam_from_args, grid_from_args, patch_from_args
@@ -223,6 +224,7 @@ def run_global_training(args) -> None:
     from ..utils.seeding import set_seed
     from . import schedules
     from .checkpoint import save_checkpoint
+    from .resume import load_train_snapshot, save_train_snapshot
 
     key = set_seed(1898, deterministic=True)
     create_directory(args.log_path, overwrite=False)
@@ -244,11 +246,16 @@ def run_global_training(args) -> None:
 
     ranges = gamma_ranges_from_args(args)
     final_g = gammas_to_array(schedules.final_gamma(ranges))
-    best_loss, best_epoch = np.inf, 0
+    best_loss, best_epoch, start_epoch = np.inf, 0, 0
+    snap_path = f"{args.model_path}/last_exp_global_stage"
+    if resume:
+        snap = load_train_snapshot(snap_path, state, sched)
+        if snap is not None:
+            state, start_epoch, sched, best_loss, best_epoch = snap
     curve = np.zeros((args.epoch_num,), dtype=float)
     logger = TrainLogger(f"{args.log_path}/exp_global_stage_training.txt", args)
 
-    for epoch in tqdm(range(args.epoch_num)):
+    for epoch in tqdm(range(start_epoch, args.epoch_num)):
         gammas = gammas_to_array(schedules.gamma_schedule(epoch, args.dynamic_epoch, ranges))
         for idx in it_train:
             key, kd = jax.random.split(key)
@@ -272,6 +279,8 @@ def run_global_training(args) -> None:
         if epoch >= args.dynamic_epoch[1]:
             lr = sched.step(curve[epoch])
             state = state.replace(opt_state=set_lr(state.opt_state, lr))
+        if snapshot_every and (epoch + 1) % snapshot_every == 0:
+            save_train_snapshot(snap_path, state, epoch, sched, best_loss, best_epoch)
 
     np.save(f"{args.log_path}/loss_curve_exp_global_stage.npy", curve)
     show_curve(args.log_path, curve, "loss_curve_exp_global_stage")

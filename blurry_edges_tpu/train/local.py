@@ -106,10 +106,9 @@ def local_loss(est, img_for_colors, img_gt, bndry_dist, deri,
     return color_term + betas[0] * loc_term + betas[1] * smth_term
 
 
-def make_steps(model: LocalStage, tx, patch: PatchConfig):
-    """Build the jitted train and eval steps."""
+def make_step_fns(model: LocalStage, tx, patch: PatchConfig):
+    """Un-jitted train/eval step implementations (jit or scan them)."""
 
-    @jax.jit
     def train_step(state: TrainState, batch, betas):
         def loss_fn(params):
             est, mut = model.apply(
@@ -126,7 +125,6 @@ def make_steps(model: LocalStage, tx, patch: PatchConfig):
         return state.replace(params=params, batch_stats=new_stats,
                              opt_state=new_opt, step=state.step + 1), loss
 
-    @jax.jit
     def eval_step(state: TrainState, batch, betas):
         est = model.apply({"params": state.params, "batch_stats": state.batch_stats},
                           batch["img_ny"], train=False)
@@ -134,6 +132,48 @@ def make_steps(model: LocalStage, tx, patch: PatchConfig):
                           batch["bndry_dist"], batch["deri"], patch, betas)
 
     return train_step, eval_step
+
+
+def make_steps(model: LocalStage, tx, patch: PatchConfig):
+    """Jitted per-batch train and eval steps."""
+    train_step, eval_step = make_step_fns(model, tx, patch)
+    return jax.jit(train_step), jax.jit(eval_step)
+
+
+def make_epoch_steps(model: LocalStage, tx, patch: PatchConfig, batch_size: int):
+    """Whole-epoch train/eval as single jitted programs: a lax.scan over
+    device-resident batches. One dispatch per epoch instead of one per step -
+    essential when host<->device dispatch latency (tunneled TPU) rivals the
+    ~1 ms step compute."""
+    train_step, eval_step = make_step_fns(model, tx, patch)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def epoch_train(state: TrainState, data, perm, betas):
+        nb = perm.shape[0] // batch_size
+        idx = perm[:nb * batch_size].reshape(nb, batch_size)
+
+        def step(st, i):
+            batch = {k: v[i] for k, v in data.items()}
+            st, loss = train_step(st, batch, betas)
+            return st, loss
+
+        state, losses = jax.lax.scan(step, state, idx)
+        return state, jnp.mean(losses)
+
+    @jax.jit
+    def epoch_eval(state: TrainState, data, betas):
+        n = next(iter(data.values())).shape[0]
+        nb = n // batch_size
+        idx = jnp.arange(nb * batch_size).reshape(nb, batch_size)
+
+        def step(_, i):
+            batch = {k: v[i] for k, v in data.items()}
+            return None, eval_step(state, batch, betas)
+
+        _, losses = jax.lax.scan(step, None, idx)
+        return jnp.mean(losses)
+
+    return epoch_train, epoch_eval
 
 
 def init_state(model: LocalStage, key, patch: PatchConfig, lr: float) -> Tuple[TrainState, object]:
@@ -146,16 +186,19 @@ def init_state(model: LocalStage, key, patch: PatchConfig, lr: float) -> Tuple[T
     return state, tx
 
 
-def run_local_training(args, previews: bool = False) -> None:
-    """CLI-level harness (reference local_training.py:68-122)."""
+def run_local_training(args, snapshot_every: int = 25, resume: bool = True) -> None:
+    """CLI-level harness (reference local_training.py:68-122), plus full
+    train-state snapshot/resume every ``snapshot_every`` epochs (a capability
+    the reference lacks)."""
     from tqdm import tqdm
 
     from ..config import patch_from_args
-    from ..data.datasets import BatchIterator, ShapeDataset
+    from ..data.datasets import ShapeDataset
     from ..utils.io import TrainLogger, create_directory, show_curve
     from ..utils.seeding import set_seed
     from . import schedules
     from .checkpoint import save_checkpoint
+    from .resume import load_train_snapshot, save_train_snapshot
 
     key = set_seed(1869)
     create_directory(args.log_path, overwrite=False)
@@ -163,32 +206,37 @@ def run_local_training(args, previews: bool = False) -> None:
 
     ds_train = ShapeDataset(args.data_path, train=True, mode="local")
     ds_val = ShapeDataset(args.data_path, train=False, mode="local")
-    it_train = BatchIterator(len(ds_train), args.batch_size, shuffle=True, seed=1869)
-    it_val = BatchIterator(len(ds_val), args.batch_size, shuffle=False)
+    # the full normalized patch set fits on device (~100 MB at reference
+    # scale): one transfer, then every epoch is a single jitted scan
+    data_train = {k: jnp.asarray(v)
+                  for k, v in ds_train.batch(np.arange(len(ds_train))).items()}
+    data_val = {k: jnp.asarray(v)
+                for k, v in ds_val.batch(np.arange(len(ds_val))).items()}
 
     model = LocalStage()
     state, tx = init_state(model, key, patch, args.learning_rate)
-    train_step, eval_step = make_steps(model, tx, patch)
+    epoch_train, epoch_eval = make_epoch_steps(model, tx, patch, args.batch_size)
     sched = schedules.PlateauScheduler(lr=args.learning_rate, factor=0.9, patience=2,
                                        min_lr=args.learning_rate * 0.1)
 
     final_betas = (args.beta_bndry_loc, args.beta_smthns)
-    best_loss, best_epoch = np.inf, 0
+    best_loss, best_epoch, start_epoch = np.inf, 0, 0
+    snap_path = f"{args.model_path}/last_exp_local_stage"
+    if resume:
+        snap = load_train_snapshot(snap_path, state, sched)
+        if snap is not None:
+            state, start_epoch, sched, best_loss, best_epoch = snap
     curve = np.zeros((args.epoch_num,), dtype=float)
     logger = TrainLogger(f"{args.log_path}/exp_local_stage_training.txt", args)
 
-    for epoch in tqdm(range(args.epoch_num)):
+    for epoch in tqdm(range(start_epoch, args.epoch_num)):
         betas = jnp.asarray(schedules.beta_schedule(
             epoch, args.dynamic_epoch, *final_betas), jnp.float32)
-        for idx in it_train:
-            batch = {k: jnp.asarray(v) for k, v in ds_train.batch(idx).items()}
-            state, _ = train_step(state, batch, betas)
-
-        val_total = 0.0
-        for idx in it_val:
-            batch = {k: jnp.asarray(v) for k, v in ds_val.batch(idx).items()}
-            val_total += float(eval_step(state, batch, jnp.asarray(final_betas, jnp.float32)))
-        curve[epoch] = val_total / len(it_val)
+        key, kp = jax.random.split(key)
+        perm = jax.random.permutation(kp, len(ds_train))
+        state, _ = epoch_train(state, data_train, perm, betas)
+        curve[epoch] = float(epoch_eval(state, data_val,
+                                        jnp.asarray(final_betas, jnp.float32)))
 
         lr = sched.step(curve[epoch])
         sched.patience = schedules.local_patience(epoch)
@@ -199,6 +247,8 @@ def run_local_training(args, previews: bool = False) -> None:
             best_loss, best_epoch = curve[epoch], epoch
             save_checkpoint(f"{args.model_path}/best_run_exp_local_stage",
                             {"params": state.params, "batch_stats": state.batch_stats})
+        if snapshot_every and (epoch + 1) % snapshot_every == 0:
+            save_train_snapshot(snap_path, state, epoch, sched, best_loss, best_epoch)
 
     np.save(f"{args.log_path}/loss_curve_exp_local_stage.npy", curve)
     show_curve(args.log_path, curve, "loss_curve_exp_local_stage")

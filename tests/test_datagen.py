@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from blurry_edges_tpu.data.shapes_gen import (ShapeGenConfig, add_photon_noise,
                                               synthesize_image)
 from blurry_edges_tpu.ops.morphology import (dilate_cross, dilate_full,
-                                             dilate_full_n, distance_transform_l1)
+                                             dilate_full_n, distance_transform_l1,
+                                             distance_transform_l1_bfs)
 
 rng = np.random.default_rng(10)
 
@@ -47,6 +48,17 @@ class TestMorphology:
             prev = curr
         ours = np.asarray(distance_transform_l1(jnp.asarray(m), max_iters=62))
         npt.assert_array_equal(ours, expected)
+        bfs = np.asarray(distance_transform_l1_bfs(jnp.asarray(m), max_iters=62))
+        npt.assert_array_equal(bfs, expected)
+
+    def test_distance_transform_scan_vs_bfs_random(self):
+        for seed in range(5):
+            r = np.random.default_rng(seed)
+            m = r.uniform(size=(37, 53)) < 0.01
+            m[3, 7] = True
+            fast = np.asarray(distance_transform_l1(jnp.asarray(m)))
+            slow = np.asarray(distance_transform_l1_bfs(jnp.asarray(m), max_iters=90))
+            npt.assert_array_equal(fast, slow)
 
     def test_distance_transform_empty_mask(self):
         # reference: empty boundary -> all ones (dist_blank * -1)
