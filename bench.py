@@ -35,7 +35,9 @@ def bench_ours():
 
     from blurry_edges_tpu import models
     from blurry_edges_tpu.config import CamConfig, GridConfig, PatchConfig
-    from blurry_edges_tpu.eval.pipeline import InferenceModules, make_depth_estimator
+    from blurry_edges_tpu.eval.pipeline import (InferenceModules,
+                                                make_batched_depth_estimator,
+                                                make_depth_estimator)
 
     key = jax.random.PRNGKey(0)
     grid = GridConfig()
@@ -58,7 +60,18 @@ def bench_ours():
     dt = time.time() - t0
     pps = N_TIMED / dt
     log(f"ours (TPU, jitted single-pair): {pps:.3f} pairs/s ({dt / N_TIMED * 1e3:.1f} ms/pair)")
-    return pps
+
+    # throughput mode: batched pairs in one program (serving configuration)
+    B = 8
+    fb = make_batched_depth_estimator(mods, PatchConfig(), grid, CamConfig())
+    batch = jax.random.uniform(key, (B, 2, grid.H, grid.W, 3))
+    jax.block_until_ready(fb(batch))
+    t0 = time.time()
+    for _ in range(5):
+        jax.block_until_ready(fb(batch))
+    bt = (time.time() - t0) / 5
+    log(f"ours (TPU, batched x{B}):       {B / bt:.3f} pairs/s ({bt / B * 1e3:.1f} ms/pair)")
+    return max(pps, B / bt)
 
 
 def bench_reference_cpu():

@@ -102,12 +102,9 @@ def fold_outputs(rend, grid: GridConfig, dtype=jnp.float32):
                 global_depth=global_depth, confidence=confidence)
 
 
-def make_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
-                         grid: GridConfig, cam: CamConfig,
-                         densify: Optional[str] = None,
-                         rho_prime: float = 10.39) -> Callable:
-    """Build the single jitted image-pair -> maps function (the reference's
-    timed region, blurry_edges_test.py:117-145)."""
+def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
+                      grid: GridConfig, cam: CamConfig,
+                      densify: Optional[str], rho_prime: float) -> Callable:
     from ..train.global_precal import local_tokens
 
     dfd = DfDSolver.from_config(cam, patch_cfg)
@@ -115,7 +112,6 @@ def make_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
     hard = densify == "w"
     depth_thres = 0.0 if densify == "w" else 0.05
 
-    @jax.jit
     def estimate(img_ny):
         """img_ny: (2, H, W, 3), alpha-normalized."""
         tokens, _ = local_tokens(mods.local_model, mods.local_vars, img_ny,
@@ -142,6 +138,26 @@ def make_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
         return out
 
     return estimate
+
+
+def make_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
+                         grid: GridConfig, cam: CamConfig,
+                         densify: Optional[str] = None,
+                         rho_prime: float = 10.39) -> Callable:
+    """Build the single jitted image-pair -> maps function (the reference's
+    timed region, blurry_edges_test.py:117-145)."""
+    return jax.jit(_make_estimate_fn(mods, patch_cfg, grid, cam, densify, rho_prime))
+
+
+def make_batched_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
+                                 grid: GridConfig, cam: CamConfig,
+                                 densify: Optional[str] = None,
+                                 rho_prime: float = 10.39) -> Callable:
+    """Throughput variant: (B, 2, H, W, 3) -> maps with leading batch axis,
+    one jitted vmapped program. Shard the batch axis over a 'data' mesh for
+    multi-chip serving (blurry_edges_tpu.parallel)."""
+    fn = _make_estimate_fn(mods, patch_cfg, grid, cam, densify, rho_prime)
+    return jax.jit(jax.vmap(fn))
 
 
 def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,

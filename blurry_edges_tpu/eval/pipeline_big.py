@@ -84,7 +84,11 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
 
     def block_core(block_img):
         """(2, 147, 147, 3) -> per-block patch-grid outputs with (Hp, Wp)
-        leading (the section 3.4 core, reference blurry_edges_test_big.py:144-165)."""
+        leading (the section 3.4 core, reference blurry_edges_test_big.py:144-165).
+
+        Trailing feature dims are flattened: the accumulated (nB, Hp, Wp, ...)
+        stacks would otherwise carry TPU tile padding on tiny minor dims like
+        (21, 3) - a 7x HBM expansion that OOMs a 16 GB chip."""
         tokens, _ = local_tokens(mods.local_model, mods.local_vars, block_img,
                                  patch_cfg, block_grid)
         src = tokens.transpose(1, 0, 2).reshape(1, L, 38)
@@ -93,14 +97,14 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
         img_patches = unfold(block_img, R, stride)[None]
         rend = render_full(den[..., :8], params2etas(den[..., 8:]), img_patches,
                            patch_cfg, dfd, rho_prime, hard_mask=False)
-        # -> (Hp, Wp) leading for the stitch gather
+        flat = lambda v: v.reshape(Hp, Wp, -1)
         return dict(
-            patches=jnp.moveaxis(rend["patches"][0], 0, 2),     # (Hp,Wp,2,R,R,3)
-            patches_shpd=rend["patches_shpd"][0],               # (Hp,Wp,R,R,3)
-            patches_refoc=rend["patches_refoc"][0],
-            local_bndry=rend["local_bndry"][0],                 # (Hp,Wp,R,R)
-            depth_map=rend["depth_map"][0],
-            depth_mask=rend["depth_mask"][0])
+            patches=flat(jnp.moveaxis(rend["patches"][0], 0, 2)),  # (Hp,Wp,2RR3)
+            patches_shpd=flat(rend["patches_shpd"][0]),            # (Hp,Wp,RR3)
+            patches_refoc=flat(rend["patches_refoc"][0]),
+            local_bndry=flat(rend["local_bndry"][0]),              # (Hp,Wp,RR)
+            depth_map=flat(rend["depth_map"][0]),
+            depth_mask=flat(rend["depth_mask"][0]))
 
     @jax.jit
     def estimate(img_ny):
@@ -109,16 +113,21 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
             img_ny[:, iv * bs0:iv * bs0 + block_grid.H,
                    ih * bs1:ih * bs1 + block_grid.W, :]
             for iv in range(nb0) for ih in range(nb1)])        # (nB,2,147,147,3)
-        outs = jax.vmap(block_core)(blocks)
-        stitched = {k: v[idx_block, idx_vloc, idx_hloc]
-                    for k, v in outs.items()}                   # (HpB,WpB,...)
+        # lax.map, not vmap: all blocks at once would push nB * 8,192 patches
+        # through the local CNN in one batch (~33 GB of conv activations at
+        # 6x6 blocks) - sequential blocks keep peak memory at one block while
+        # the whole loop stays a single XLA program.
+        outs = jax.lax.map(block_core, blocks)
+        st = {k: v[idx_block, idx_vloc, idx_hloc]
+              for k, v in outs.items()}                        # (HpB,WpB,flat)
         rend = dict(
-            patches=jnp.moveaxis(stitched["patches"], 2, 0)[None],  # (1,2,HpB,WpB,R,R,3)
-            patches_shpd=stitched["patches_shpd"][None],
-            patches_refoc=stitched["patches_refoc"][None],
-            local_bndry=stitched["local_bndry"][None],
-            depth_map=stitched["depth_map"][None],
-            depth_mask=stitched["depth_mask"][None])
+            patches=jnp.moveaxis(
+                st["patches"].reshape(HpB, WpB, 2, R, R, 3), 2, 0)[None],
+            patches_shpd=st["patches_shpd"].reshape(HpB, WpB, R, R, 3)[None],
+            patches_refoc=st["patches_refoc"].reshape(HpB, WpB, R, R, 3)[None],
+            local_bndry=st["local_bndry"].reshape(HpB, WpB, R, R)[None],
+            depth_map=st["depth_map"].reshape(HpB, WpB, R, R)[None],
+            depth_mask=st["depth_mask"].reshape(HpB, WpB, R, R)[None])
         out = fold_outputs(rend, big_grid, img_ny.dtype)
         out["depth_final"] = jnp.where(out["confidence"] > depth_thres,
                                        out["global_depth"], 0.0)

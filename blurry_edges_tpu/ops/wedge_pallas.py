@@ -32,6 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 TWO_PI = 2.0 * math.pi
 
 
+def _erf(x):
+    """erf via the Abramowitz-Stegun 7.1.26 rational approximation (max abs
+    error 1.5e-7, below float32 resolution of the downstream 10^(2 erf - 2)
+    map). Mosaic has no native erf lowering."""
+    sign = jnp.where(x < 0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _wedge_colors_kernel(params_ref, pixels_ref, out_ref, *, R: int, w: float,
                          lambda_ridge: float):
     """params_ref: (10, TP); pixels_ref: (3, R*R, TP); out_ref: (9, TP) with
@@ -40,10 +52,11 @@ def _wedge_colors_kernel(params_ref, pixels_ref, out_ref, *, R: int, w: float,
     TP = params_ref.shape[1]
 
     # patch-frame coordinates per pixel row (reference utils/postprocessing_loss.py:15-17)
-    pix = jax.lax.broadcasted_iota(jnp.float32, (N, TP), 0)
+    # (tpu.iota only produces integers; convert after)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (N, TP), 0)
     step = 2.0 / (R - 1)
-    x = -1.0 + jnp.mod(pix, float(R)) * step
-    y = -1.0 + jnp.floor(pix / float(R)) * step
+    x = -1.0 + jnp.mod(pix, R).astype(jnp.float32) * step
+    y = -1.0 + (pix // R).astype(jnp.float32) * step
 
     def row(i):  # (1, TP) parameter row, broadcasts against (N, TP)
         return params_ref[i:i + 1, :]
@@ -74,10 +87,10 @@ def _wedge_colors_kernel(params_ref, pixels_ref, out_ref, *, R: int, w: float,
 
     # etas from the raw coefficients (reference :88-89), then soft memberships
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
-    eta1 = 10.0 ** (jax.lax.erf(row(8)) * 2.0 - 2.0)
-    eta2 = 10.0 ** (jax.lax.erf(row(9)) * 2.0 - 2.0)
-    h1 = 0.5 * (1.0 + jax.lax.erf(dist1 * (inv_sqrt2 / eta1)))
-    h2 = 0.5 * (1.0 + jax.lax.erf(dist2 * (inv_sqrt2 / eta2)))
+    eta1 = 10.0 ** (_erf(row(8)) * 2.0 - 2.0)
+    eta2 = 10.0 ** (_erf(row(9)) * 2.0 - 2.0)
+    h1 = 0.5 * (1.0 + _erf(dist1 * (inv_sqrt2 / eta1)))
+    h2 = 0.5 * (1.0 + _erf(dist2 * (inv_sqrt2 / eta2)))
     u0 = (1.0 - h1) * (1.0 - h2)
     u1 = h1 * (1.0 - h2)
     u2 = h2

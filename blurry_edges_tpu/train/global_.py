@@ -219,7 +219,8 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
     from tqdm import tqdm
 
     from ..config import cam_from_args, grid_from_args, patch_from_args
-    from ..data.datasets import BatchIterator, ShapeDataset
+    from ..data.datasets import ShapeDataset
+    from ..data.native import PrefetchLoader
     from ..utils.io import TrainLogger, create_directory, show_curve
     from ..utils.seeding import set_seed
     from . import schedules
@@ -234,8 +235,21 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
 
     ds_train = ShapeDataset(args.data_path, train=True, mode="global")
     ds_val = ShapeDataset(args.data_path, train=False, mode="global")
-    it_train = BatchIterator(len(ds_train), args.batch_size, shuffle=True, seed=1898)
-    it_val = BatchIterator(len(ds_val), args.batch_size, shuffle=False)
+
+    # the global set (~16 GB at reference scale) stays on host; batches are
+    # assembled by the threaded native gather one step ahead of the device
+    def loader(ds, order):
+        return PrefetchLoader(
+            arrays={"input_param": (ds.input_param, False),
+                    "img_ny": (ds.img_ny, True),
+                    "img_gt": (ds.img_gt, True),
+                    "bndry_dist": (ds.bndry_dist, False),
+                    "deri": (ds.deri, False),
+                    "bndry_depth": (ds.bndry_depth, False)},
+            alpha=ds.alpha, order=order, batch_size=args.batch_size)
+
+    shuffle_rng = np.random.default_rng(1898)
+    val_order = np.arange(len(ds_val))
 
     model = GlobalStage(in_parameter_size=args.input_size,
                         out_parameter_size=args.output_size)
@@ -257,16 +271,18 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
 
     for epoch in tqdm(range(start_epoch, args.epoch_num)):
         gammas = gammas_to_array(schedules.gamma_schedule(epoch, args.dynamic_epoch, ranges))
-        for idx in it_train:
+        it_train = loader(ds_train, shuffle_rng.permutation(len(ds_train)))
+        for batch_np in it_train:
             key, kd = jax.random.split(key)
-            batch = {k: jnp.asarray(v) for k, v in ds_train.batch(idx).items()}
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             state, _ = train_step(state, batch, gammas, kd)
 
-        val_total = 0.0
-        for idx in it_val:
-            batch = {k: jnp.asarray(v) for k, v in ds_val.batch(idx).items()}
+        val_total, nv = 0.0, 0
+        for batch_np in loader(ds_val, val_order):
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             val_total += float(eval_step(state, batch, final_g))
-        curve[epoch] = val_total / len(it_val)
+            nv += 1
+        curve[epoch] = val_total / max(nv, 1)
 
         logger.epoch(epoch, curve[epoch], sched.patience,
                      sched.lr)
