@@ -41,13 +41,27 @@ def bench_ours():
 
     key = jax.random.PRNGKey(0)
     grid = GridConfig()
-    local = models.LocalStage()
-    glob = models.GlobalStage()
-    mods = InferenceModules(
-        local_model=local,
-        local_vars=local.init(key, jnp.zeros((1, 21, 21, 3))),
-        global_model=glob,
-        global_vars=glob.init(key, jnp.zeros((1, grid.num_tokens, 38))))
+    try:
+        # trained weights when shipped (same filenames the reference uses)
+        import types
+
+        from blurry_edges_tpu.utils.weights import load_inference_modules
+
+        wargs = types.SimpleNamespace(
+            model_path=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "pretrained_weights"),
+            img_size=[grid.H, grid.W], R=grid.R, stride=grid.stride)
+        mods = load_inference_modules(wargs)
+        log("using trained weights from ./pretrained_weights")
+    except FileNotFoundError:
+        local = models.LocalStage()
+        glob = models.GlobalStage()
+        mods = InferenceModules(
+            local_model=local,
+            local_vars=local.init(key, jnp.zeros((1, 21, 21, 3))),
+            global_model=glob,
+            global_vars=glob.init(key, jnp.zeros((1, grid.num_tokens, 38))))
+        log("using random-init weights (timing-equivalent)")
     fn = make_depth_estimator(mods, PatchConfig(), grid, CamConfig(), densify=None)
 
     imgs = [jax.random.uniform(jax.random.PRNGKey(i), (2, grid.H, grid.W, 3))

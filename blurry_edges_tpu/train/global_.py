@@ -164,9 +164,10 @@ def tokens_from_params_src(params_src):
     return jnp.moveaxis(params_src, 1, 2).reshape(B, L, 2 * F)
 
 
-def make_steps(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
-               dfd: DfDSolver):
-    @jax.jit
+def make_step_fns(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
+                  dfd: DfDSolver):
+    """Un-jitted step implementations (jit or scan them)."""
+
     def train_step(state: TrainState, batch, gammas, dropout_key):
         def loss_fn(params):
             est = model.apply({"params": params},
@@ -183,7 +184,6 @@ def make_steps(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
         return state.replace(params=params, opt_state=new_opt,
                              step=state.step + 1), loss
 
-    @jax.jit
     def eval_step(state: TrainState, batch, gammas):
         est = model.apply({"params": state.params},
                           tokens_from_params_src(batch["input_param"]), train=False)
@@ -192,6 +192,51 @@ def make_steps(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
                            batch["bndry_depth"], gammas, patch_cfg, grid, dfd)
 
     return train_step, eval_step
+
+
+def make_steps(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
+               dfd: DfDSolver):
+    train_step, eval_step = make_step_fns(model, tx, patch_cfg, grid, dfd)
+    return jax.jit(train_step), jax.jit(eval_step)
+
+
+def make_epoch_steps(model: GlobalStage, tx, patch_cfg: PatchConfig,
+                     grid: GridConfig, dfd: DfDSolver, batch_size: int):
+    """Whole-epoch train/eval as single jitted scans over device-resident
+    data. Use when the global set fits in HBM; per-step host batches through a
+    slow host<->device link otherwise dominate wall-clock."""
+    import functools as _ft
+
+    train_step, eval_step = make_step_fns(model, tx, patch_cfg, grid, dfd)
+
+    @_ft.partial(jax.jit, donate_argnums=0)
+    def epoch_train(state: TrainState, data, perm, gammas, dropout_key):
+        nb = perm.shape[0] // batch_size
+        idx = perm[:nb * batch_size].reshape(nb, batch_size)
+
+        def step(st, inp):
+            b, i = inp
+            batch = {k: v[i] for k, v in data.items()}
+            st, loss = train_step(st, batch, gammas, jax.random.fold_in(dropout_key, b))
+            return st, loss
+
+        state, losses = jax.lax.scan(step, state, (jnp.arange(nb), idx))
+        return state, jnp.mean(losses)
+
+    @jax.jit
+    def epoch_eval(state: TrainState, data, gammas):
+        n = next(iter(data.values())).shape[0]
+        nb = n // batch_size
+        idx = jnp.arange(nb * batch_size).reshape(nb, batch_size)
+
+        def step(_, i):
+            batch = {k: v[i] for k, v in data.items()}
+            return None, eval_step(state, batch, gammas)
+
+        _, losses = jax.lax.scan(step, None, idx)
+        return jnp.mean(losses)
+
+    return epoch_train, epoch_eval
 
 
 def init_state(model: GlobalStage, key, lr: float, L: int) -> Tuple[TrainState, object]:
@@ -236,17 +281,39 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
     ds_train = ShapeDataset(args.data_path, train=True, mode="global")
     ds_val = ShapeDataset(args.data_path, train=False, mode="global")
 
-    # the global set (~16 GB at reference scale) stays on host; batches are
-    # assembled by the threaded native gather one step ahead of the device
-    def loader(ds, order):
-        return PrefetchLoader(
-            arrays={"input_param": (ds.input_param, False),
-                    "img_ny": (ds.img_ny, True),
-                    "img_gt": (ds.img_gt, True),
-                    "bndry_dist": (ds.bndry_dist, False),
-                    "deri": (ds.deri, False),
-                    "bndry_depth": (ds.bndry_depth, False)},
-            alpha=ds.alpha, order=order, batch_size=args.batch_size)
+    def _arrays(ds):
+        return (ds.input_param, ds.img_ny, ds.img_gt, ds.bndry_dist, ds.deri,
+                ds.bndry_depth)
+
+    total_bytes = sum(a.nbytes for ds in (ds_train, ds_val) for a in _arrays(ds))
+    device_data = total_bytes < 9e9  # leave headroom of a 16 GB HBM for activations
+
+    if device_data:
+        # whole set on device: each epoch is ONE jitted scan (no per-step
+        # host transfers - a slow host<->device link otherwise dominates)
+        def to_device(ds):
+            a = jnp.asarray(ds.alpha).reshape((-1,) + (1,) * (ds.img_ny.ndim - 1))
+            return {"input_param": jnp.asarray(ds.input_param),
+                    "img_ny": jnp.asarray(ds.img_ny) / a,
+                    "img_gt": jnp.asarray(ds.img_gt) / a,
+                    "bndry_dist": jnp.asarray(ds.bndry_dist),
+                    "deri": jnp.asarray(ds.deri),
+                    "bndry_depth": jnp.asarray(ds.bndry_depth)}
+
+        data_train = to_device(ds_train)
+        data_val = to_device(ds_val)
+    else:
+        # host-resident set (~16 GB at reference scale): batches are assembled
+        # by the threaded native gather one step ahead of the device
+        def loader(ds, order):
+            return PrefetchLoader(
+                arrays={"input_param": (ds.input_param, False),
+                        "img_ny": (ds.img_ny, True),
+                        "img_gt": (ds.img_gt, True),
+                        "bndry_dist": (ds.bndry_dist, False),
+                        "deri": (ds.deri, False),
+                        "bndry_depth": (ds.bndry_depth, False)},
+                alpha=ds.alpha, order=order, batch_size=args.batch_size)
 
     shuffle_rng = np.random.default_rng(1898)
     val_order = np.arange(len(ds_val))
@@ -254,7 +321,11 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
     model = GlobalStage(in_parameter_size=args.input_size,
                         out_parameter_size=args.output_size)
     state, tx = init_state(model, key, args.learning_rate, grid.num_tokens)
-    train_step, eval_step = make_steps(model, tx, patch_cfg, grid, dfd)
+    if device_data:
+        epoch_train, epoch_eval = make_epoch_steps(model, tx, patch_cfg, grid,
+                                                   dfd, args.batch_size)
+    else:
+        train_step, eval_step = make_steps(model, tx, patch_cfg, grid, dfd)
     sched = schedules.PlateauScheduler(lr=args.learning_rate, factor=0.975,
                                        patience=5, min_lr=args.learning_rate * 0.5)
 
@@ -271,18 +342,24 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
 
     for epoch in tqdm(range(start_epoch, args.epoch_num)):
         gammas = gammas_to_array(schedules.gamma_schedule(epoch, args.dynamic_epoch, ranges))
-        it_train = loader(ds_train, shuffle_rng.permutation(len(ds_train)))
-        for batch_np in it_train:
-            key, kd = jax.random.split(key)
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            state, _ = train_step(state, batch, gammas, kd)
+        if device_data:
+            key, kp, kd = jax.random.split(key, 3)
+            perm = jax.random.permutation(kp, len(ds_train))
+            state, _ = epoch_train(state, data_train, perm, gammas, kd)
+            curve[epoch] = float(epoch_eval(state, data_val, final_g))
+        else:
+            it_train = loader(ds_train, shuffle_rng.permutation(len(ds_train)))
+            for batch_np in it_train:
+                key, kd = jax.random.split(key)
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                state, _ = train_step(state, batch, gammas, kd)
 
-        val_total, nv = 0.0, 0
-        for batch_np in loader(ds_val, val_order):
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            val_total += float(eval_step(state, batch, final_g))
-            nv += 1
-        curve[epoch] = val_total / max(nv, 1)
+            val_total, nv = 0.0, 0
+            for batch_np in loader(ds_val, val_order):
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                val_total += float(eval_step(state, batch, final_g))
+                nv += 1
+            curve[epoch] = val_total / max(nv, 1)
 
         logger.epoch(epoch, curve[epoch], sched.patience,
                      sched.lr)

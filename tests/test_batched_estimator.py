@@ -1,0 +1,59 @@
+"""The batched (vmapped) inference estimator must agree with the single-pair
+estimator exactly, and shard over a data mesh."""
+
+import numpy as np
+import numpy.testing as npt
+
+import jax
+import jax.numpy as jnp
+
+from blurry_edges_tpu import models
+from blurry_edges_tpu.config import CamConfig, GridConfig, PatchConfig
+from blurry_edges_tpu.eval.pipeline import (InferenceModules,
+                                            make_batched_depth_estimator,
+                                            make_depth_estimator)
+from blurry_edges_tpu.parallel import data_sharding, make_mesh
+
+rng = np.random.default_rng(14)
+H = 49
+GRID = GridConfig(H=H, W=H)
+
+
+def _mods():
+    key = jax.random.PRNGKey(0)
+    local = models.LocalStage()
+    glob = models.GlobalStage()
+    return InferenceModules(
+        local_model=local, local_vars=local.init(key, jnp.zeros((1, 21, 21, 3))),
+        global_model=glob,
+        global_vars=glob.init(key, jnp.zeros((1, GRID.num_tokens, 38))))
+
+
+def test_batched_matches_single():
+    mods = _mods()
+    single = make_depth_estimator(mods, PatchConfig(), GRID, CamConfig())
+    batched = make_batched_depth_estimator(mods, PatchConfig(), GRID, CamConfig())
+    imgs = jnp.asarray(rng.uniform(0, 1, size=(3, 2, H, H, 3)).astype(np.float32))
+    out_b = batched(imgs)
+    # vmap reassociates conv reductions, so the CNN's parameters differ at
+    # float-noise level; the wedge cascade amplifies that (distances divided by
+    # etas as small as 1e-4 before an erf), so pointwise equality is not
+    # meaningful - require near-agreement on the bulk of pixels and bounded
+    # worst-case drift (random-init weights make the cascade maximally touchy)
+    for i in range(3):
+        out_s = single(imgs[i])
+        for k in out_s:
+            d = np.abs(np.asarray(out_b[k][i], np.float32)
+                       - np.asarray(out_s[k], np.float32))
+            assert np.quantile(d, 0.8) < 1e-3, (k, np.quantile(d, 0.8))
+            assert d.max() < 0.3, (k, d.max())
+
+
+def test_batched_runs_sharded():
+    mods = _mods()
+    batched = make_batched_depth_estimator(mods, PatchConfig(), GRID, CamConfig())
+    mesh = make_mesh(8)
+    imgs = jnp.asarray(rng.uniform(0, 1, size=(8, 2, H, H, 3)).astype(np.float32))
+    sharded = jax.device_put(imgs, data_sharding(mesh))
+    out = batched(sharded)
+    assert np.isfinite(np.asarray(out["depth_final"])).all()
