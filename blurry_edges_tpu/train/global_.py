@@ -169,6 +169,7 @@ def make_step_fns(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConf
     """Un-jitted step implementations (jit or scan them)."""
 
     def train_step(state: TrainState, batch, gammas, dropout_key):
+        @jax.checkpoint
         def loss_fn(params):
             est = model.apply({"params": params},
                               tokens_from_params_src(batch["input_param"]),
@@ -290,18 +291,22 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
 
     if device_data:
         # whole set on device: each epoch is ONE jitted scan (no per-step
-        # host transfers - a slow host<->device link otherwise dominates)
-        def to_device(ds):
+        # host transfers - a slow host<->device link otherwise dominates).
+        # Training never reads img_ny (colors are solved on the clean images,
+        # reference :210), so it stays off-device for the train split.
+        def to_device(ds, include_ny):
             a = jnp.asarray(ds.alpha).reshape((-1,) + (1,) * (ds.img_ny.ndim - 1))
-            return {"input_param": jnp.asarray(ds.input_param),
-                    "img_ny": jnp.asarray(ds.img_ny) / a,
-                    "img_gt": jnp.asarray(ds.img_gt) / a,
-                    "bndry_dist": jnp.asarray(ds.bndry_dist),
-                    "deri": jnp.asarray(ds.deri),
-                    "bndry_depth": jnp.asarray(ds.bndry_depth)}
+            out = {"input_param": jnp.asarray(ds.input_param),
+                   "img_gt": jnp.asarray(ds.img_gt) / a,
+                   "bndry_dist": jnp.asarray(ds.bndry_dist),
+                   "deri": jnp.asarray(ds.deri),
+                   "bndry_depth": jnp.asarray(ds.bndry_depth)}
+            if include_ny:
+                out["img_ny"] = jnp.asarray(ds.img_ny) / a
+            return out
 
-        data_train = to_device(ds_train)
-        data_val = to_device(ds_val)
+        data_train = to_device(ds_train, include_ny=False)
+        data_val = to_device(ds_val, include_ny=True)
     else:
         # host-resident set (~16 GB at reference scale): batches are assembled
         # by the threaded native gather one step ahead of the device

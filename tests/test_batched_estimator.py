@@ -46,7 +46,9 @@ def test_batched_matches_single():
             d = np.abs(np.asarray(out_b[k][i], np.float32)
                        - np.asarray(out_s[k], np.float32))
             assert np.quantile(d, 0.8) < 1e-3, (k, np.quantile(d, 0.8))
-            assert d.max() < 0.3, (k, d.max())
+            # thresholded maps (depth/confidence) can flip whole pixels
+            # (0 <-> metric depth); bound the flipped fraction, not the max
+            assert np.mean(d > 0.01) < 0.05, (k, np.mean(d > 0.01))
 
 
 def test_batched_runs_sharded():
