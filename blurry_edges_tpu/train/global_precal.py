@@ -78,12 +78,15 @@ def run_global_precal(args, device_batch: int = 8) -> None:
 
     from ..config import grid_from_args, patch_from_args
     from ..data.datasets import ShapeDataset
-    from .checkpoint import load_checkpoint
+    from .checkpoint import checkpoint_exists, load_checkpoint
 
     patch_cfg = patch_from_args(args)
     grid = grid_from_args(args)
     model = LocalStage()
-    ckpt = load_checkpoint(f"{args.model_path}/pretrained_local_stage")
+    names = ("pretrained_local_stage", "best_run_exp_local_stage")
+    paths = [f"{args.model_path}/{n}" for n in names]
+    path = next((p for p in paths if checkpoint_exists(p)), paths[0])
+    ckpt = load_checkpoint(path)
     variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
     fn = make_precal_fn(model, patch_cfg, grid)
 

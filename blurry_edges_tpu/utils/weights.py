@@ -25,21 +25,27 @@ def _to_jnp(tree):
     return jax.tree.map(jnp.asarray, tree)
 
 
-def _load_stage(model_path: str, name: str, convert_fn, init_fn, allow_random: bool):
+def _load_stage(model_path: str, names, convert_fn, init_fn, allow_random: bool):
+    """Try each candidate name in order, as an orbax checkpoint dir first and
+    then a torch .pth state_dict (converted on the fly)."""
     from ..train.checkpoint import checkpoint_exists, load_checkpoint
 
-    ckpt_dir = os.path.join(model_path, name)
-    pth = os.path.join(model_path, f"{name}.pth")
-    if checkpoint_exists(ckpt_dir):
-        return _to_jnp(load_checkpoint(ckpt_dir))
-    if os.path.exists(pth):
-        converted = convert_fn(tc.load_pth(pth))
-        if isinstance(converted, tuple):
-            return {"params": _to_jnp(converted[0]), "batch_stats": _to_jnp(converted[1])}
-        return {"params": _to_jnp(converted)}
+    if isinstance(names, str):
+        names = (names,)
+    for name in names:
+        ckpt_dir = os.path.join(model_path, name)
+        if checkpoint_exists(ckpt_dir):
+            return _to_jnp(load_checkpoint(ckpt_dir))
+    for name in names:
+        pth = os.path.join(model_path, f"{name}.pth")
+        if os.path.exists(pth):
+            converted = convert_fn(tc.load_pth(pth))
+            if isinstance(converted, tuple):
+                return {"params": _to_jnp(converted[0]), "batch_stats": _to_jnp(converted[1])}
+            return {"params": _to_jnp(converted)}
     if allow_random:
         return init_fn()
-    raise FileNotFoundError(f"no weights for {name} under {model_path}")
+    raise FileNotFoundError(f"no weights for any of {names} under {model_path}")
 
 
 def load_inference_modules(args, densify=None, allow_random: bool = False):
@@ -52,20 +58,29 @@ def load_inference_modules(args, densify=None, allow_random: bool = False):
     glob = models.GlobalStage()
 
     local_vars = _load_stage(
-        args.model_path, "pretrained_local_stage", tc.convert_local_stage,
+        args.model_path,
+        ("pretrained_local_stage", "best_run_exp_local_stage"),
+        tc.convert_local_stage,
         lambda: local.init(key, jnp.zeros((1, args.R, args.R, 3))), allow_random)
 
-    # densify 'w' uses its own global-stage weights (blurry_edges_test.py:186-191)
-    gname = "pretrained_global_stage_w" if densify == "w" else "pretrained_global_stage"
+    # densify 'w' uses its own global-stage weights (blurry_edges_test.py:186-191);
+    # fall back to the shared trained checkpoint when no w-variant exists
+    if densify == "w":
+        gnames = ("pretrained_global_stage_w", "best_run_exp_global_stage_w",
+                  "pretrained_global_stage", "best_run_exp_global_stage")
+    else:
+        gnames = ("pretrained_global_stage", "best_run_exp_global_stage")
     global_vars = _load_stage(
-        args.model_path, gname, tc.convert_global_stage,
+        args.model_path, gnames, tc.convert_global_stage,
         lambda: glob.init(key, jnp.zeros((1, grid.num_tokens, 38))), allow_random)
 
     unet_model, unet_vars = None, None
     if densify == "pp":
         unet_model = models.UNet()
         unet_vars = _load_stage(
-            args.model_path, "pretrained_depth_completion_pp", tc.convert_unet,
+            args.model_path,
+            ("pretrained_depth_completion_pp", "best_run_exp_depth_completion_pp"),
+            tc.convert_unet,
             lambda: unet_model.init(key, jnp.zeros((1, grid.H, grid.W, 1))),
             allow_random)
 
