@@ -22,7 +22,7 @@ import numpy as np
 
 N_WARMUP = 2
 N_TIMED = 20
-REF_PAIRS = 1  # reference CPU pairs to time (slow)
+REF_PAIRS = 3  # reference CPU pairs to time (slow; ~1 min/pair on this host)
 
 
 def log(*a):

@@ -113,6 +113,7 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--beta_bndry_loc', type=float, default=0.001, help='weight for boundary localization error')
         parser.add_argument('--beta_smthns', type=float, default=0.0005, help='weight for smoothness error')
         parser.add_argument('--dynamic_epoch', type=int, default=200, help='key epoch of dynamic scheduling')
+        parser.add_argument('--dp_devices', type=int, default=0, help='data-parallel devices (0/1 = single device); shards the batch over a jax mesh')
 
     elif mode == 'global_pre':  # reference utils/args.py:39-42
         parser.add_argument('--stride', type=int, default=2, help='stride')
@@ -136,6 +137,7 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--dynamic_epoch', type=int, nargs=3, default=[30, 100, 200], help='key epoch of dynamic scheduling')
         parser.add_argument('--input_size', type=int, default=38, help='input layer size')
         parser.add_argument('--output_size', type=int, default=12, help='output layer size')
+        parser.add_argument('--dp_devices', type=int, default=0, help='data-parallel devices (0/1 = single device); shards the batch over a jax mesh')
 
     if mode == 'data_gen_test':  # reference utils/args.py:67-74
         parser.add_argument('--data_path', type=str, default='./data/data_test', help='path of dataset')

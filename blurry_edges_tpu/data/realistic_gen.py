@@ -237,17 +237,19 @@ class SyntheticRealisticDataGenerator:
 
 def load_coco_foregrounds(args, image_size, n):
     """Host-side COCO instance-mask foregrounds (reference
-    test_data_generator.py:26-68). Requires pycocotools + the datasets."""
+    test_data_generator.py:26-68). Uses pycocotools when present, else the
+    built-in SimpleCOCO reader (data/coco.py)."""
     import random
 
     import cv2
-    from pycocotools.coco import COCO
     from scipy.ndimage import label
+
+    from .coco import open_coco
 
     H, W = image_size
     masks = np.zeros((n, H, W), dtype=bool)
     objs = np.zeros((n, H, W, 3), dtype=np.float64)
-    coco = COCO(f"{args.frgd_path}instances_val2017.json")
+    coco = open_coco(f"{args.frgd_path}instances_val2017.json")
     cat_names = [c["name"] for c in coco.loadCats(coco.getCatIds())]
     for i in range(n):
         while True:

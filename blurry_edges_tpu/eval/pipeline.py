@@ -104,9 +104,12 @@ def fold_outputs(rend, grid: GridConfig, dtype=jnp.float32):
 
 def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
                       grid: GridConfig, cam: CamConfig,
-                      densify: Optional[str], rho_prime: float) -> Callable:
-    from ..train.global_precal import local_tokens
+                      densify: Optional[str], rho_prime: float,
+                      use_pallas: Optional[bool] = None) -> Callable:
+    from ..train.global_precal import local_tokens, use_pallas_default
 
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
     dfd = DfDSolver.from_config(cam, patch_cfg)
     Hp, Wp, L, R = grid.H_patches, grid.W_patches, grid.num_tokens, grid.R
     hard = densify == "w"
@@ -115,7 +118,7 @@ def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
     def estimate(img_ny):
         """img_ny: (2, H, W, 3), alpha-normalized."""
         tokens, _ = local_tokens(mods.local_model, mods.local_vars, img_ny,
-                                 patch_cfg, grid)                 # (2, L, 19)
+                                 patch_cfg, grid, use_pallas)     # (2, L, 19)
         src = tokens.transpose(1, 0, 2).reshape(1, L, 38)
         est = mods.global_model.apply(mods.global_vars, src, train=False)
         den = denormalize_global_eval(est).reshape(1, Hp, Wp, 12)
@@ -143,20 +146,25 @@ def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
 def make_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
                          grid: GridConfig, cam: CamConfig,
                          densify: Optional[str] = None,
-                         rho_prime: float = 10.39) -> Callable:
+                         rho_prime: float = 10.39,
+                         use_pallas: Optional[bool] = None) -> Callable:
     """Build the single jitted image-pair -> maps function (the reference's
-    timed region, blurry_edges_test.py:117-145)."""
-    return jax.jit(_make_estimate_fn(mods, patch_cfg, grid, cam, densify, rho_prime))
+    timed region, blurry_edges_test.py:117-145). use_pallas=None auto-enables
+    the fused wedge-colors kernel on TPU backends."""
+    return jax.jit(_make_estimate_fn(mods, patch_cfg, grid, cam, densify,
+                                     rho_prime, use_pallas))
 
 
 def make_batched_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
                                  grid: GridConfig, cam: CamConfig,
                                  densify: Optional[str] = None,
-                                 rho_prime: float = 10.39) -> Callable:
+                                 rho_prime: float = 10.39,
+                                 use_pallas: Optional[bool] = None) -> Callable:
     """Throughput variant: (B, 2, H, W, 3) -> maps with leading batch axis,
     one jitted vmapped program. Shard the batch axis over a 'data' mesh for
     multi-chip serving (blurry_edges_tpu.parallel)."""
-    fn = _make_estimate_fn(mods, patch_cfg, grid, cam, densify, rho_prime)
+    fn = _make_estimate_fn(mods, patch_cfg, grid, cam, densify, rho_prime,
+                           use_pallas)
     return jax.jit(jax.vmap(fn))
 
 

@@ -93,13 +93,19 @@ def _fold_mean(patches_rrc, H, W, stride, count):
     return out.reshape(lead + (H, W, patches_rrc.shape[-1]))
 
 
-def global_loss(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
-                gammas, patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
-    """The 7-term loss (reference global_training.py:93-157).
+def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
+                      patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
+    """The loss terms of reference global_training.py:93-157, unweighted.
+
+    Returns (terms (6,) - the per-batch means of color, color_cons,
+    bndry_cons, smthns, smthns_cons, bndry_loc - plus depth_S, depth_N:
+    the masked squared-error sum and mask count of the depth term, kept
+    un-divided so chunked/accumulated evaluation composes exactly:
+    batch means of equal-size chunks average, and the depth ratio is
+    sum(S)/sum(N)).
 
     est: (B, L, 12) raw global-stage outputs; images (B, 2, H, W, 3);
-    bndry_dist / bndry_depth: (B, H, W); deri: (B, 2, H-2, W-2, 3);
-    gammas: (7,) in GAMMA_ORDER.
+    bndry_dist / bndry_depth: (B, H, W); deri: (B, 2, H-2, W-2, 3).
     """
     B = est.shape[0]
     Hp, Wp, R, H, W, stride = (grid.H_patches, grid.W_patches, grid.R,
@@ -146,15 +152,27 @@ def global_loss(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
     bd_patches = unfold(jnp.log2(bndry_dist + 1.0)[..., None], R, stride)[..., 0]
     t_bndry_loc = jnp.mean((bd_patches * local_bndry) ** 2)
 
-    # 7) masked depth MSE on GT boundary-depth pixels (reference :124-128)
+    # 7) masked depth MSE on GT boundary-depth pixels (reference :124-128),
+    # returned as (sum, count) so accumulation over chunks stays exact
     bdep_patches = unfold(bndry_depth[..., None], R, stride)[..., 0]
     dmask = jnp.where(bdep_patches == 0, 0.0,
                       jnp.where(depth_mask == 0, 0.0, 1.0))
-    t_depth = jnp.sum(((depth_map - bdep_patches) * dmask) ** 2) / jnp.sum(dmask)
+    depth_S = jnp.sum(((depth_map - bdep_patches) * dmask) ** 2)
+    depth_N = jnp.sum(dmask)
 
     terms = jnp.stack([t_color, t_color_cons, t_bndry_cons, t_smthns,
-                       t_smthns_cons, t_bndry_loc, t_depth])
-    return jnp.sum(gammas * terms)
+                       t_smthns_cons, t_bndry_loc])
+    return terms, depth_S, depth_N
+
+
+def global_loss(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
+                gammas, patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
+    """The weighted 7-term loss (reference global_training.py:130-139);
+    gammas: (7,) in GAMMA_ORDER."""
+    terms, depth_S, depth_N = global_loss_terms(
+        est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
+        patch_cfg, grid, dfd)
+    return jnp.sum(gammas[:6] * terms) + gammas[6] * depth_S / depth_N
 
 
 def tokens_from_params_src(params_src):
@@ -164,51 +182,132 @@ def tokens_from_params_src(params_src):
     return jnp.moveaxis(params_src, 1, 2).reshape(B, L, 2 * F)
 
 
+def expand_compact_batch(batch):
+    """Decompress a compact device-resident batch into the loss inputs.
+
+    The global train/val arrays are ~19 GB as float32 at reference scale -
+    too big for a 16 GB HBM next to activations. But every big array is
+    losslessly reconstructible from integer data:
+      - imgs_u8 (B,2,H,W,3) uint8: the clean images' photon counts; the
+        alpha-normalized clean image is exactly imgs_u8/255 (the generator's
+        img_gt = imgs/255*alpha, reference train_val_data_generator.py:177).
+      - deri: the Sobel operator is linear, so the dataset's derivative map
+        (sobel(imgs)/255 center crop) equals image_derivative(img_gt/alpha).
+      - ny_u8 uint8: noisy photon counts (integers in [0, alpha], alpha<=200).
+      - bndry_dist uint16: integer L1 boundary distances (max H+W).
+    Batches that are already expanded pass through unchanged.
+    """
+    if "imgs_u8" not in batch:
+        return batch
+    img_gt = batch["imgs_u8"].astype(jnp.float32) / 255.0      # (B,2,H,W,3)
+    B, _, H, W, _ = img_gt.shape
+    deri = image_derivative(img_gt.reshape(B * 2, H, W, 3)).reshape(
+        B, 2, H - 2, W - 2, 3)
+    out = {"input_param": batch["input_param"], "img_gt": img_gt,
+           "bndry_dist": batch["bndry_dist"].astype(jnp.float32),
+           "deri": deri, "bndry_depth": batch["bndry_depth"]}
+    if "ny_u8" in batch:
+        a = batch["alpha"].reshape((-1,) + (1,) * 4)
+        out["img_ny"] = batch["ny_u8"].astype(jnp.float32) / a
+    return out
+
+
+def compact_arrays(ds, include_ny: bool):
+    """Host-side: ShapeDataset(mode='global') -> compact numpy arrays for
+    expand_compact_batch (uint8 photon counts, uint16 distances; the
+    derivative maps are dropped entirely and recomputed on device)."""
+    a = ds.alpha.reshape((-1,) + (1,) * (ds.img_gt.ndim - 1)).astype(np.float32)
+    out = {"input_param": ds.input_param,
+           "imgs_u8": np.round(ds.img_gt / a * 255.0).astype(np.uint8),
+           "bndry_dist": ds.bndry_dist.astype(np.uint16),
+           "bndry_depth": ds.bndry_depth}
+    if include_ny:
+        out["ny_u8"] = np.round(ds.img_ny).astype(np.uint8)
+        out["alpha"] = ds.alpha.astype(np.float32)
+    return out
+
+
 def make_step_fns(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
-                  dfd: DfDSolver):
-    """Un-jitted step implementations (jit or scan them)."""
+                  dfd: DfDSolver, grad_accum: int = 1):
+    """Un-jitted step implementations (jit or scan them). Batches may be
+    either expanded loss inputs or the compact device-resident form.
+
+    grad_accum > 1 splits the batch into that many chunks and accumulates
+    the loss (and hence gradient) over a remat'd lax.scan. The result is
+    EXACT batch semantics - terms 1-6 are equal-size chunk means averaged,
+    the depth term composes as sum(S)/sum(N), and the mask count N carries no
+    gradient - while peak activation memory drops by ~grad_accum x. At
+    reference scale (batch 8 over a 64x64 patch grid) the full-batch backward
+    plus the device-resident training set does not fit a 16 GB HBM; per-sample
+    accumulation (grad_accum = batch) does, with the per-chunk program still
+    wide enough (4,096 patches x 441 px) to fill the TPU.
+    """
+
+    def _loss_parts(params, batch, gammas, dropout_key, train: bool):
+        rngs = {"dropout": dropout_key} if train else None
+        est = model.apply({"params": params},
+                          tokens_from_params_src(batch["input_param"]),
+                          train=train, rngs=rngs)
+        img_colors = batch["img_gt"] if train else batch["img_ny"]
+        terms, S, N = global_loss_terms(
+            est, img_colors, batch["img_gt"], batch["bndry_dist"],
+            batch["deri"], batch["bndry_depth"], patch_cfg, grid, dfd)
+        return terms, S, N
+
+    def _loss(params, batch, gammas, dropout_key, train: bool):
+        batch = expand_compact_batch(batch)
+        if grad_accum <= 1:
+            terms, S, N = _loss_parts(params, batch, gammas, dropout_key, train)
+            return jnp.sum(gammas[:6] * terms) + gammas[6] * S / N
+        B = batch["input_param"].shape[0]
+        assert B % grad_accum == 0, (B, grad_accum)
+        chunks = jax.tree.map(
+            lambda v: v.reshape((grad_accum, B // grad_accum) + v.shape[1:]), batch)
+
+        def body(carry, inp):
+            i, chunk = inp
+            terms, S, N = _loss_parts(params, chunk, gammas,
+                                      jax.random.fold_in(dropout_key, i), train)
+            acc_t, acc_S, acc_N = carry
+            return (acc_t + terms, acc_S + S, acc_N + N), None
+
+        (t_sum, S, N), _ = jax.lax.scan(
+            jax.checkpoint(body), (jnp.zeros((6,)), 0.0, 0.0),
+            (jnp.arange(grad_accum), chunks))
+        return jnp.sum(gammas[:6] * (t_sum / grad_accum)) + gammas[6] * S / N
 
     def train_step(state: TrainState, batch, gammas, dropout_key):
-        @jax.checkpoint
-        def loss_fn(params):
-            est = model.apply({"params": params},
-                              tokens_from_params_src(batch["input_param"]),
-                              train=True, rngs={"dropout": dropout_key})
-            # reference quirk: colors solved on clean images during training (:210)
-            return global_loss(est, batch["img_gt"], batch["img_gt"],
-                               batch["bndry_dist"], batch["deri"],
-                               batch["bndry_depth"], gammas, patch_cfg, grid, dfd)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        # reference quirk: colors solved on clean images during training (:210)
+        loss, grads = jax.value_and_grad(_loss)(state.params, batch, gammas,
+                                                dropout_key, True)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(params=params, opt_state=new_opt,
                              step=state.step + 1), loss
 
     def eval_step(state: TrainState, batch, gammas):
-        est = model.apply({"params": state.params},
-                          tokens_from_params_src(batch["input_param"]), train=False)
-        return global_loss(est, batch["img_ny"], batch["img_gt"],
-                           batch["bndry_dist"], batch["deri"],
-                           batch["bndry_depth"], gammas, patch_cfg, grid, dfd)
+        return _loss(state.params, batch, gammas, jax.random.PRNGKey(0), False)
 
     return train_step, eval_step
 
 
 def make_steps(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
-               dfd: DfDSolver):
-    train_step, eval_step = make_step_fns(model, tx, patch_cfg, grid, dfd)
+               dfd: DfDSolver, grad_accum: int = 1):
+    train_step, eval_step = make_step_fns(model, tx, patch_cfg, grid, dfd,
+                                          grad_accum)
     return jax.jit(train_step), jax.jit(eval_step)
 
 
 def make_epoch_steps(model: GlobalStage, tx, patch_cfg: PatchConfig,
-                     grid: GridConfig, dfd: DfDSolver, batch_size: int):
+                     grid: GridConfig, dfd: DfDSolver, batch_size: int,
+                     grad_accum: int = 1):
     """Whole-epoch train/eval as single jitted scans over device-resident
     data. Use when the global set fits in HBM; per-step host batches through a
     slow host<->device link otherwise dominate wall-clock."""
     import functools as _ft
 
-    train_step, eval_step = make_step_fns(model, tx, patch_cfg, grid, dfd)
+    train_step, eval_step = make_step_fns(model, tx, patch_cfg, grid, dfd,
+                                          grad_accum)
 
     @_ft.partial(jax.jit, donate_argnums=0)
     def epoch_train(state: TrainState, data, perm, gammas, dropout_key):
@@ -259,9 +358,14 @@ def gamma_ranges_from_args(args) -> Dict[str, tuple]:
             "depth": tuple(args.gamma_depth)}
 
 
-def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> None:
+def run_global_training(args, snapshot_every: int = 25, resume: bool = True,
+                        mesh=None) -> None:
     """CLI harness (reference global_training.py:173-225), plus full
-    train-state snapshot/resume."""
+    train-state snapshot/resume.
+
+    ``mesh``: optional jax.sharding.Mesh with a 'data' axis for SPMD data
+    parallelism (sample axis sharded, params replicated, gradient psum over
+    ICI; reference hot loop global_training.py:204-221)."""
     from tqdm import tqdm
 
     from ..config import cam_from_args, grid_from_args, patch_from_args
@@ -282,31 +386,46 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
     ds_train = ShapeDataset(args.data_path, train=True, mode="global")
     ds_val = ShapeDataset(args.data_path, train=False, mode="global")
 
-    def _arrays(ds):
-        return (ds.input_param, ds.img_ny, ds.img_gt, ds.bndry_dist, ds.deri,
-                ds.bndry_depth)
-
-    total_bytes = sum(a.nbytes for ds in (ds_train, ds_val) for a in _arrays(ds))
-    device_data = total_bytes < 9e9  # leave headroom of a 16 GB HBM for activations
+    # Training never reads img_ny (colors are solved on the clean images,
+    # reference :210), so it stays off-device for the train split.
+    compact_train = compact_arrays(ds_train, include_ny=False)
+    compact_val = compact_arrays(ds_val, include_ny=True)
+    total_bytes = sum(a.nbytes for c in (compact_train, compact_val)
+                      for a in c.values())
+    # the compact form is ~9 GB at reference scale; leave ~4 GB of a 16 GB
+    # HBM for the batch-8 loss activations (remat'd)
+    device_data = total_bytes < 12e9
 
     if device_data:
-        # whole set on device: each epoch is ONE jitted scan (no per-step
-        # host transfers - a slow host<->device link otherwise dominates).
-        # Training never reads img_ny (colors are solved on the clean images,
-        # reference :210), so it stays off-device for the train split.
-        def to_device(ds, include_ny):
-            a = jnp.asarray(ds.alpha).reshape((-1,) + (1,) * (ds.img_ny.ndim - 1))
-            out = {"input_param": jnp.asarray(ds.input_param),
-                   "img_gt": jnp.asarray(ds.img_gt) / a,
-                   "bndry_dist": jnp.asarray(ds.bndry_dist),
-                   "deri": jnp.asarray(ds.deri),
-                   "bndry_depth": jnp.asarray(ds.bndry_depth)}
-            if include_ny:
-                out["img_ny"] = jnp.asarray(ds.img_ny) / a
-            return out
+        # train set on device in compact form: each epoch is ONE jitted scan
+        # (no per-step host transfers - the ~0.6 GiB/s tunneled host<->device
+        # link otherwise dominates); batches decompress in-step on device.
+        # The val set stays on host and streams through in ~0.5 GB chunks so
+        # it never competes with the training step's activations for HBM.
+        data_train = {k: jnp.asarray(v) for k, v in compact_train.items()}
+        n_val = len(ds_val)
+        val_chunk = min(n_val, max(1, 512 // args.batch_size) * args.batch_size)
 
-        data_train = to_device(ds_train, include_ny=False)
-        data_val = to_device(ds_val, include_ny=True)
+        def _put_chunk(chunk_np):
+            if mesh is not None:
+                from ..parallel import shard_batch
+                return shard_batch(chunk_np, mesh)
+            return {k: jnp.asarray(v) for k, v in chunk_np.items()}
+
+        def eval_chunked(state, epoch_eval, gammas):
+            total, cnt = 0.0, 0
+            s = 0
+            while s < n_val:
+                e = min(n_val, s + val_chunk)
+                e -= (e - s) % args.batch_size
+                if e <= s:
+                    break
+                chunk = _put_chunk({k: v[s:e] for k, v in compact_val.items()})
+                nb = (e - s) // args.batch_size
+                total += float(epoch_eval(state, chunk, gammas)) * nb
+                cnt += nb
+                s = e
+            return total / max(cnt, 1)
     else:
         # host-resident set (~16 GB at reference scale): batches are assembled
         # by the threaded native gather one step ahead of the device
@@ -326,11 +445,23 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
     model = GlobalStage(in_parameter_size=args.input_size,
                         out_parameter_size=args.output_size)
     state, tx = init_state(model, key, args.learning_rate, grid.num_tokens)
+    if mesh is not None:
+        from ..parallel import replicate, shard_batch
+        if device_data:
+            data_train = shard_batch(data_train, mesh)
+        state = state.replace(params=replicate(state.params, mesh),
+                              opt_state=replicate(state.opt_state, mesh))
+    # per-sample gradient accumulation at production grid size: the batch-8
+    # backward over a 64x64 patch grid does not fit HBM next to the resident
+    # training set (semantics are exact - see make_step_fns)
+    grad_accum = args.batch_size if grid.num_tokens >= 4096 else 1
     if device_data:
         epoch_train, epoch_eval = make_epoch_steps(model, tx, patch_cfg, grid,
-                                                   dfd, args.batch_size)
+                                                   dfd, args.batch_size,
+                                                   grad_accum)
     else:
-        train_step, eval_step = make_steps(model, tx, patch_cfg, grid, dfd)
+        train_step, eval_step = make_steps(model, tx, patch_cfg, grid, dfd,
+                                           grad_accum)
     sched = schedules.PlateauScheduler(lr=args.learning_rate, factor=0.975,
                                        patience=5, min_lr=args.learning_rate * 0.5)
 
@@ -351,18 +482,22 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True) -> 
             key, kp, kd = jax.random.split(key, 3)
             perm = jax.random.permutation(kp, len(ds_train))
             state, _ = epoch_train(state, data_train, perm, gammas, kd)
-            curve[epoch] = float(epoch_eval(state, data_val, final_g))
+            curve[epoch] = eval_chunked(state, epoch_eval, final_g)
         else:
+            def put(batch_np):
+                if mesh is not None:
+                    from ..parallel import shard_batch
+                    return shard_batch(batch_np, mesh)
+                return {k: jnp.asarray(v) for k, v in batch_np.items()}
+
             it_train = loader(ds_train, shuffle_rng.permutation(len(ds_train)))
             for batch_np in it_train:
                 key, kd = jax.random.split(key)
-                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-                state, _ = train_step(state, batch, gammas, kd)
+                state, _ = train_step(state, put(batch_np), gammas, kd)
 
             val_total, nv = 0.0, 0
             for batch_np in loader(ds_val, val_order):
-                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-                val_total += float(eval_step(state, batch, final_g))
+                val_total += float(eval_step(state, put(batch_np), final_g))
                 nv += 1
             curve[epoch] = val_total / max(nv, 1)
 

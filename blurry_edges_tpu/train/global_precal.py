@@ -27,12 +27,31 @@ from ..ops import (dists2indicators, make_patch_grid, params2dists, params2etas,
 from ..ops.params import normalize_token_features, wrap_local_params
 
 
-def solve_patch_colors(params, patch_pixels, patch_cfg: PatchConfig):
+def use_pallas_default() -> bool:
+    """Auto policy for the fused Pallas colors kernel: on for real TPU
+    backends, off elsewhere (the Mosaic kernel has no efficient CPU path)."""
+    return jax.default_backend() == "tpu"
+
+
+def solve_patch_colors(params, patch_pixels, patch_cfg: PatchConfig,
+                       use_pallas: bool = False):
     """Per-patch ridge color solve from wrapped local params (reference
     global_data_pre_cal.py:38-50).
 
     params: (..., 10); patch_pixels: (..., R, R, 3) -> colors (..., 3, 3).
+
+    use_pallas routes through the fused VMEM kernel
+    (ops.wedge_pallas.wedge_colors_pallas, equality-tested against this path).
     """
+    if use_pallas:
+        from ..ops.wedge_pallas import wedge_colors_pallas
+
+        lead = params.shape[:-1]
+        colors = wedge_colors_pallas(
+            params.reshape(-1, 10),
+            patch_pixels.reshape((-1,) + patch_pixels.shape[-3:]),
+            R=patch_cfg.R, w=patch_cfg.w, lambda_ridge=patch_cfg.lambda_ridge)
+        return colors.reshape(lead + (3, 3))
     x, y = make_patch_grid(patch_cfg.R, params.dtype)
     dists = params2dists(params[..., :8], x, y, patch_cfg.w)
     etas = params2etas(params[..., 8:])
@@ -43,7 +62,7 @@ def solve_patch_colors(params, patch_pixels, patch_cfg: PatchConfig):
 
 
 def local_tokens(model: LocalStage, variables, img_pair, patch_cfg: PatchConfig,
-                 grid: GridConfig):
+                 grid: GridConfig, use_pallas: bool = False):
     """One image pair -> (2, Hp*Wp, 19) normalized global-stage tokens and the
     wrapped raw params (2, Hp*Wp, 10).
 
@@ -54,19 +73,23 @@ def local_tokens(model: LocalStage, variables, img_pair, patch_cfg: PatchConfig,
     flat = patches.reshape(2 * L, grid.R, grid.R, 3)
     est = model.apply(variables, flat, train=False)          # (2L, 10)
     params = wrap_local_params(est)
-    colors = solve_patch_colors(params, flat, patch_cfg)     # (2L, 3, 3)
+    colors = solve_patch_colors(params, flat, patch_cfg, use_pallas)  # (2L, 3, 3)
     tokens = normalize_token_features(params, colors)        # (2L, 19)
     return tokens.reshape(2, L, 19), params.reshape(2, L, 10)
 
 
-def make_precal_fn(model: LocalStage, patch_cfg: PatchConfig, grid: GridConfig):
+def make_precal_fn(model: LocalStage, patch_cfg: PatchConfig, grid: GridConfig,
+                   use_pallas: bool = None):
     """Jitted, image-batch-vmapped precal: (variables, (B, 2, H, W, 3)) ->
     (B, 2, Hp*Wp, 19)."""
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
 
     @jax.jit
     def fn(variables, img_pairs):
         return jax.vmap(
-            lambda p: local_tokens(model, variables, p, patch_cfg, grid)[0]
+            lambda p: local_tokens(model, variables, p, patch_cfg, grid,
+                                   use_pallas)[0]
         )(img_pairs)
 
     return fn

@@ -186,10 +186,17 @@ def init_state(model: LocalStage, key, patch: PatchConfig, lr: float) -> Tuple[T
     return state, tx
 
 
-def run_local_training(args, snapshot_every: int = 25, resume: bool = True) -> None:
+def run_local_training(args, snapshot_every: int = 25, resume: bool = True,
+                       mesh=None) -> None:
     """CLI-level harness (reference local_training.py:68-122), plus full
     train-state snapshot/resume every ``snapshot_every`` epochs (a capability
-    the reference lacks)."""
+    the reference lacks).
+
+    ``mesh``: optional jax.sharding.Mesh with a 'data' axis. The dataset is
+    sharded across it on the sample axis and parameters are replicated; the
+    jitted epoch scan then runs SPMD with XLA inserting the gradient psum
+    over ICI (reference hot loop local_training.py:99-118, scaled per
+    SURVEY.md section 2.2)."""
     from tqdm import tqdm
 
     from ..config import patch_from_args
@@ -215,6 +222,13 @@ def run_local_training(args, snapshot_every: int = 25, resume: bool = True) -> N
 
     model = LocalStage()
     state, tx = init_state(model, key, patch, args.learning_rate)
+    if mesh is not None:
+        from ..parallel import replicate, shard_batch
+        data_train = shard_batch(data_train, mesh)
+        data_val = shard_batch(data_val, mesh)
+        state = state.replace(params=replicate(state.params, mesh),
+                              batch_stats=replicate(state.batch_stats, mesh),
+                              opt_state=replicate(state.opt_state, mesh))
     epoch_train, epoch_eval = make_epoch_steps(model, tx, patch, args.batch_size)
     sched = schedules.PlateauScheduler(lr=args.learning_rate, factor=0.9, patience=2,
                                        min_lr=args.learning_rate * 0.1)

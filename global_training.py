@@ -1,7 +1,15 @@
-"""Global-stage training CLI (reference global_training.py:173-225 entry)."""
+"""Global-stage training CLI (reference global_training.py:173-225 entry).
+
+--dp_devices N shards the batch over an N-device 'data' mesh (SPMD data
+parallelism; params replicated, gradient psum over ICI)."""
 
 from blurry_edges_tpu.config import get_args
 from blurry_edges_tpu.train.global_ import run_global_training
 
 if __name__ == "__main__":
-    run_global_training(get_args("global_train"))
+    args = get_args("global_train")
+    mesh = None
+    if getattr(args, "dp_devices", 0) and args.dp_devices > 1:
+        from blurry_edges_tpu.parallel import make_mesh
+        mesh = make_mesh(args.dp_devices)
+    run_global_training(args, mesh=mesh)

@@ -60,7 +60,7 @@ class TestOracleParity:
             # everything outside the dynamic support is zero
             total = ours.sum()
             inside = ours[K - k:K + k + 1, K - k:K + k + 1].sum()
-            npt.assert_allclose(total, inside, atol=1e-8)
+            npt.assert_allclose(total, inside, atol=1e-6)  # one f32 ulp of reduction-order noise
 
     def test_blur_matches_scipy(self):
         from scipy.ndimage import convolve
