@@ -64,8 +64,18 @@ def stitch_maps(Hp_local: int, Hp_big: int, n_blocks: int, n_margin: int
 def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
                              block_grid: GridConfig, big_grid: GridConfig,
                              cam: CamConfig, n_margin: int,
-                             rho_prime: float = 10.39, depth_thres: float = 0.05):
-    """One jitted (2, Hbig, Wbig, 3) -> global maps function."""
+                             rho_prime: float = 10.39, depth_thres: float = 0.05,
+                             mesh=None):
+    """One jitted (2, Hbig, Wbig, 3) -> global maps function.
+
+    ``mesh``: optional jax.sharding.Mesh with a 'data' axis. The block grid -
+    the reference's only spatial-scaling structure (serial double loop,
+    blurry_edges_test_big.py:142-183) - is sharded across the mesh with
+    jax.shard_map: every device runs its share of blocks locally (halo
+    handling stays within a block, which overlaps its neighbours on read),
+    and the only cross-shard communication is gathering the kept patch
+    outputs for the margin-discard stitch + global fold (SURVEY.md
+    sections 2.2 / 5.8)."""
     from ..train.global_precal import local_tokens
 
     dfd = DfDSolver.from_config(cam, patch_cfg)
@@ -116,8 +126,21 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
         # lax.map, not vmap: all blocks at once would push nB * 8,192 patches
         # through the local CNN in one batch (~33 GB of conv activations at
         # 6x6 blocks) - sequential blocks keep peak memory at one block while
-        # the whole loop stays a single XLA program.
-        outs = jax.lax.map(block_core, blocks)
+        # the whole loop stays a single XLA program. With a mesh, the block
+        # axis is sharded: each device maps over its own blocks.
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            D = mesh.size
+            nB = blocks.shape[0]
+            pad = (-nB) % D
+            blocks_p = jnp.pad(blocks, ((0, pad),) + ((0, 0),) * 4)
+            shard_fn = jax.shard_map(
+                lambda blk: jax.lax.map(block_core, blk), mesh=mesh,
+                in_specs=P("data"), out_specs=P("data"))
+            outs = {k: v[:nB] for k, v in shard_fn(blocks_p).items()}
+        else:
+            outs = jax.lax.map(block_core, blocks)
         st = {k: v[idx_block, idx_vloc, idx_hloc]
               for k, v in outs.items()}                        # (HpB,WpB,flat)
         rend = dict(
@@ -146,9 +169,13 @@ def run_eval_big(args, modules: InferenceModules, visualizer=None,
     patch_cfg = patch_from_args(args)
     block_grid = grid_from_args(args, big=False)
     big_grid = grid_from_args(args, big=True)
+    mesh = None
+    if getattr(args, "dp_devices", 0) and args.dp_devices > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.dp_devices)
     estimate = make_big_depth_estimator(modules, patch_cfg, block_grid, big_grid,
                                         cam_from_args(args), args.n_margin_patch,
-                                        rho_prime=args.rho_prime)
+                                        rho_prime=args.rho_prime, mesh=mesh)
     ds = TestDataset(args.data_path)
     n = len(ds) if max_images is None else min(max_images, len(ds))
 

@@ -86,9 +86,16 @@ class GlobalStage(nn.Module):
                          dtype=self.dtype)
         x = nn.Dense(self.d_model, dtype=self.dtype, name="in_proj")(src)
         x = x + pe[None, :x.shape[1], :]
+        # remat per layer: the (heads, L, L) attention probabilities are
+        # ~537 MB per layer per sample at L=4096 f32; without remat the
+        # backward holds all 8 layers' probs (~4.3 GB/sample) as residuals,
+        # which blows HBM in training. Checkpointing each layer bounds
+        # backward liveness to one layer; forward and inference cost are
+        # unchanged (checkpoint is identity in the primal).
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
         for i in range(self.num_encoder_layers):
-            x = EncoderLayer(self.d_model, self.nhead, self.dim_feedforward,
-                             self.dropout, self.layer_norm_eps, dtype=self.dtype,
-                             name=f"layer{i}")(x, train)
+            x = layer_cls(self.d_model, self.nhead, self.dim_feedforward,
+                          self.dropout, self.layer_norm_eps, dtype=self.dtype,
+                          name=f"layer{i}")(x, train)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="final_norm")(x)
         return nn.Dense(self.out_parameter_size, dtype=self.dtype, name="generator")(x)

@@ -14,6 +14,10 @@ from blurry_edges_tpu.eval.pipeline import (InferenceModules,
                                             make_depth_estimator)
 from blurry_edges_tpu.parallel import data_sharding, make_mesh
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(14)
 H = 49
 GRID = GridConfig(H=H, W=H)

@@ -14,6 +14,8 @@ from blurry_edges_tpu.ops.morphology import (dilate_cross, dilate_full,
                                              dilate_full_n, distance_transform_l1,
                                              distance_transform_l1_bfs)
 
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(10)
 
 

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from blurry_edges_tpu.models import UNet
 from blurry_edges_tpu.train import densify
 
+pytestmark = pytest.mark.slow
+
 
 def test_make_sparse_from_gt():
     H = 48

@@ -13,6 +13,8 @@ import pytest
 from blurry_edges_tpu.config import get_args
 from blurry_edges_tpu.parallel import make_mesh
 
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(77)
 
 H = 29  # 5x5 patch grid

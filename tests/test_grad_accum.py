@@ -15,6 +15,10 @@ from blurry_edges_tpu.models import GlobalStage
 from blurry_edges_tpu.ops.dfd import DfDSolver
 from blurry_edges_tpu.train import global_ as tg
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(21)
 H = 29
 GRID = GridConfig(H=H, W=H)

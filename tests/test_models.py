@@ -15,6 +15,8 @@ from blurry_edges_tpu.utils import torch_convert as tc
 
 from . import oracle
 
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(4)
 
 

@@ -24,6 +24,8 @@ from blurry_edges_tpu.utils import torch_convert as tc
 from . import oracle
 from .pipeline_oracle_worker import H, R, STRIDE, main as worker_main
 
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(8)
 
 GRID = GridConfig(H=H, W=H, R=R, stride=STRIDE)

@@ -12,6 +12,10 @@ from blurry_edges_tpu.train import local as tl
 from blurry_edges_tpu.train.resume import load_train_snapshot, save_train_snapshot
 from blurry_edges_tpu.train.schedules import PlateauScheduler
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
 
 def test_snapshot_roundtrip(tmp_path):
     model = LocalStage()

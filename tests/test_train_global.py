@@ -16,6 +16,8 @@ from blurry_edges_tpu.train import schedules
 
 from . import oracle
 
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(7)
 
 B, H, R, STRIDE = 2, 49, 21, 2

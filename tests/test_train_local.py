@@ -14,6 +14,8 @@ from blurry_edges_tpu.train import local as tl
 
 from . import oracle
 
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(6)
 R = 21
 PATCH = PatchConfig()

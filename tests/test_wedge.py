@@ -11,6 +11,8 @@ from blurry_edges_tpu.ops import wedge
 
 from . import oracle
 
+pytestmark = pytest.mark.slow
+
 R = 21
 LAMBDA = (5e-3 * R**2) ** 2
 rng = np.random.default_rng(0)

@@ -12,6 +12,10 @@ from blurry_edges_tpu.ops.params import wrap_local_params
 from blurry_edges_tpu.ops.wedge_pallas import wedge_colors_pallas
 from blurry_edges_tpu.train.global_precal import solve_patch_colors
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(12)
 PATCH = PatchConfig()
 
