@@ -9,6 +9,10 @@ the kernels (true convolution), but the magnitude is identical since
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -37,3 +41,36 @@ def image_derivative(img, eps: float = 1e-8):
                                       feature_group_count=C, precision=hp)
     out = jnp.sqrt(gx**2 + gy**2 + eps)
     return out.reshape(lead + (H - 2, W - 2, C))
+
+
+@functools.lru_cache(maxsize=8)
+def _sobel_flat_matrices(R: int):
+    """Dense (R-2)^2 x R^2 matrices applying the valid-mode Sobel pair to a
+    flattened R x R patch. As matmuls these run on the MXU with large,
+    tile-friendly dims - the conv formulation on (..., R, R, C) patch stacks
+    pads the tiny minor dims instead."""
+    sx = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    sy = np.array([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
+    O = R - 2
+    Mx = np.zeros((O * O, R * R), np.float32)
+    My = np.zeros_like(Mx)
+    for i in range(O):
+        for j in range(O):
+            for di in range(3):
+                for dj in range(3):
+                    src = (i + di) * R + (j + dj)
+                    Mx[i * O + j, src] = sx[di, dj]
+                    My[i * O + j, src] = sy[di, dj]
+    return Mx, My
+
+
+def image_derivative_flat(p, R: int, eps: float = 1e-8):
+    """Sobel gradient magnitude on flattened patches: p (..., R*R) ->
+    (..., (R-2)*(R-2)). Numerically identical to image_derivative on the
+    corresponding (R, R) patches (sqrt(gx^2 + gy^2 + eps), HIGHEST-precision
+    contraction)."""
+    Mx, My = _sobel_flat_matrices(R)
+    hp = jax.lax.Precision.HIGHEST
+    gx = jnp.einsum("...n,mn->...m", p, jnp.asarray(Mx, p.dtype), precision=hp)
+    gy = jnp.einsum("...n,mn->...m", p, jnp.asarray(My, p.dtype), precision=hp)
+    return jnp.sqrt(gx**2 + gy**2 + eps)

@@ -96,6 +96,65 @@ def params2dists(params, x, y, w: float = 1.0):
     return jnp.stack([dist1, dist2], axis=-3)
 
 
+def params2dists_flat(params, xf, yf, w: float = 1.0):
+    """params2dists with the pixel axis flattened: params (..., 8),
+    xf/yf (N,) flat patch coordinates -> (dist1, dist2), each (..., N).
+
+    Identical math to params2dists; this layout keeps the minor dimension
+    large (N = R*R = 441 -> one ~2% padded TPU tile row) where the (R, R[, C])
+    form pads its tiny minor dims up to 42x, which dominates HBM traffic in
+    the training backward.
+    """
+    def sel(i):
+        return params[..., i, None]
+
+    x0, y0, x1, y1 = sel(0), sel(1), sel(2), sel(3)
+    th1, ph1, th2, ph2 = sel(4), sel(5), sel(6), sel(7)
+
+    sgn1 = jnp.where(jnp.mod(ph1, TWO_PI) < math.pi, 1.0, -1.0)
+    sgn2 = jnp.where(jnp.mod(ph2, TWO_PI) < math.pi, 1.0, -1.0)
+    th1p = th1 + ph1
+    th2p = th2 + ph2
+
+    d11 = _soft_back_extension(_dist_edge(xf, yf, x0, y0, th1), _dist_axial(xf, yf, x0, y0, th1), w)
+    d12 = _soft_back_extension(_dist_edge(xf, yf, x0, y0, th1p), _dist_axial(xf, yf, x0, y0, th1p), w)
+    d21 = _soft_back_extension(_dist_edge(xf, yf, x1, y1, th2), _dist_axial(xf, yf, x1, y1, th2), w)
+    d22 = _soft_back_extension(_dist_edge(xf, yf, x1, y1, th2p), _dist_axial(xf, yf, x1, y1, th2p), w)
+
+    ind1 = sgn1 * jnp.where((sgn1 * d11 > 0) & (sgn1 * d12 < 0), 1.0, -1.0)
+    ind2 = sgn2 * jnp.where((sgn2 * d21 >= 0) & (sgn2 * d22 <= 0), 1.0, -1.0)
+
+    dist1 = jnp.minimum(jnp.abs(d11), jnp.abs(d12)) * ind1
+    dist2 = jnp.minimum(jnp.abs(d21), jnp.abs(d22)) * ind2
+    return dist1, dist2
+
+
+def indicator_flat(d, eta):
+    """Gaussian-CDF soft step on a flat distance field: d (..., N),
+    eta (...,) or (..., 1) -> (..., N) (the per-wedge h of
+    dists2indicators)."""
+    if eta.ndim < d.ndim:
+        eta = eta[..., None]
+    return 0.5 * (1.0 + jax.lax.erf(d / (math.sqrt(2.0) * eta)))
+
+
+def boundary_distance_field_flat(d1, d2):
+    """boundary_distance_field on flat fields: wedge 2 occludes wedge 1."""
+    return jnp.where(d2 >= 0, d2,
+                     jnp.where(jnp.abs(d1) < jnp.abs(d2), jnp.abs(d1), jnp.abs(d2)))
+
+
+def depth_masks_flat(d1, d2, hard: bool = False):
+    """depth_masks on flat fields -> int32 (..., N)."""
+    if hard:
+        m1 = (d1 > 0).astype(jnp.int32)
+        m2 = (d2 > 0).astype(jnp.int32) * 2
+        return jnp.where(m2 == 2, m2, m1)
+    m1 = (normalized_gaussian(d1) > 0.5).astype(jnp.int32)
+    m2 = (normalized_gaussian(d2) > 0.5).astype(jnp.int32) * 2
+    return jnp.where((m2 == 2) | (d2 >= 0), m2, m1)
+
+
 def params2etas(coefs):
     """Blur-level map eta = 10^(2 erf(c) - 2) in (1e-4, 1) (reference
     utils/postprocessing_loss.py:88-89)."""

@@ -30,11 +30,11 @@ import optax
 from ..config import GridConfig, PatchConfig
 from ..models import GlobalStage
 from ..ops import (boundary_map, depth_masks, dists2indicators, fold, fold_count,
-                   make_patch_grid, params2dists, render_patches, solve_colors,
-                   unfold)
+                   inverse_3x3, make_patch_grid, normalized_gaussian, params2dists,
+                   render_patches, solve_colors, unfold)
 from ..ops.dfd import DfDSolver
 from ..ops.params import denormalize_global_train
-from ..ops.sobel import image_derivative
+from ..ops.sobel import image_derivative, image_derivative_flat
 from .local import TrainState, make_optimizer, set_lr, xavier_reinit
 
 GAMMA_ORDER = ("color", "color_cons", "bndry_cons", "smthns", "smthns_cons",
@@ -93,8 +93,8 @@ def _fold_mean(patches_rrc, H, W, stride, count):
     return out.reshape(lead + (H, W, patches_rrc.shape[-1]))
 
 
-def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
-                      patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
+def global_loss_terms_gridded(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
+                              patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
     """The loss terms of reference global_training.py:93-157, unweighted.
 
     Returns (terms (6,) - the per-batch means of color, color_cons,
@@ -159,6 +159,129 @@ def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth
                       jnp.where(depth_mask == 0, 0.0, 1.0))
     depth_S = jnp.sum(((depth_map - bdep_patches) * dmask) ** 2)
     depth_N = jnp.sum(dmask)
+
+    terms = jnp.stack([t_color, t_color_cons, t_bndry_cons, t_smthns,
+                       t_smthns_cons, t_bndry_loc])
+    return terms, depth_S, depth_N
+
+
+def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
+                      patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
+    """Flat-layout implementation of global_loss_terms_gridded (same
+    reference semantics, global_training.py:93-157; equality-tested against
+    the gridded form).
+
+    Every gradient-carrying field is carried as (..., L, N) with
+    L = Hp*Wp = 4096 and N = R*R = 441 (or N2 = (R-2)^2) minor dims: one
+    ~2%-padded TPU tile row. The (B, Hp, Wp, R, R, C) form of the gridded
+    implementation pads its (21, 3) / (21, 21) minor dims up to 42x, which
+    made the training backward HBM-traffic-bound (~3.6 s/step measured).
+    Per-pixel Sobel terms run as dense (R*R -> (R-2)^2) MXU matmuls
+    (ops.sobel.image_derivative_flat); folds/unfolds - forward-only data or
+    stop-gradient consistency targets - relayout at the boundary.
+    """
+    from ..ops.wedge import (boundary_distance_field_flat, depth_masks_flat,
+                             indicator_flat, params2dists_flat)
+
+    B = est.shape[0]
+    Hp, Wp, R, H, W, stride = (grid.H_patches, grid.W_patches, grid.R,
+                               grid.H, grid.W, grid.stride)
+    L, N = Hp * Wp, R * R
+    est = est.reshape(B, L, 12)
+    xy_angles, etas = denormalize_global_train(est)      # (B,L,8), (B,L,4)
+
+    coords = jnp.linspace(-1.0, 1.0, R, dtype=est.dtype)
+    yg, xg = jnp.meshgrid(coords, coords, indexing="ij")
+    xf, yf = xg.reshape(-1), yg.reshape(-1)
+    d1, d2 = params2dists_flat(xy_angles, xf, yf, patch_cfg.w)   # (B,L,N)
+
+    # per-image soft memberships, stacked (B, 2, 3, L, N)
+    def memberships(e1, e2):
+        h1 = indicator_flat(d1, e1)
+        h2 = indicator_flat(d2, e2)
+        return jnp.stack([(1.0 - h1) * (1.0 - h2), h1 * (1.0 - h2), h2], axis=1)
+
+    U = jnp.stack([memberships(etas[..., 0], etas[..., 1]),
+                   memberships(etas[..., 2], etas[..., 3])], axis=1)
+
+    def unfold_flat(imgs, r):
+        """(B, 2, h, w, C) -> (B, 2, C, L, r*r) channel-major flat patches."""
+        pf = unfold(imgs.reshape((B * 2,) + imgs.shape[2:]), r, stride)
+        pf = jnp.moveaxis(pf, -1, 1)                     # (B2, C, Hp, Wp, r, r)
+        return pf.reshape(B, 2, 3, L, r * r)
+
+    y = unfold_flat(img_for_colors, R)                   # (B,2,C,L,N)
+    gt_patches = unfold_flat(img_gt, R)
+
+    # joint ridge solve across the pair (reference global_training.py:62-67):
+    # unrolled VPU multiply-reduce - a (3, 882) @ (882, 3) batched matmul
+    # would pad both tiny dims onto the 128-wide MXU
+    gram = {}
+    for i in range(3):
+        for j in range(i, 3):
+            gram[(i, j)] = jnp.sum(U[:, :, i] * U[:, :, j], axis=(1, -1))
+    At_A = jnp.stack([
+        jnp.stack([gram[(min(i, j), max(i, j))] for j in range(3)], axis=-1)
+        for i in range(3)], axis=-2)                     # (B,L,3,3)
+    At_y = jnp.stack([
+        jnp.stack([jnp.sum(U[:, :, k] * y[:, :, c], axis=(1, -1))
+                   for c in range(3)], axis=-1)
+        for k in range(3)], axis=-2)                     # (B,L,3k,3c)
+    ridge = patch_cfg.lambda_ridge * jnp.eye(3, dtype=est.dtype)
+    inv = inverse_3x3(At_A + ridge)
+    colors = jnp.sum(inv[..., :, :, None] * At_y[..., None, :, :], axis=-2)
+
+    # rendered pair patches (B,2,C,L,N)
+    patches = sum(
+        U[:, :, k][:, :, None] * jnp.moveaxis(colors[..., k, :], -1, 1)[:, None, :, :, None]
+        for k in range(3))
+
+    local_bndry = normalized_gaussian(boundary_distance_field_flat(d1, d2))  # (B,L,N)
+
+    dep1 = dfd.etas2depth(etas[..., 0], etas[..., 2])    # (B,L)
+    dep2 = dfd.etas2depth(etas[..., 1], etas[..., 3])
+    dmask = depth_masks_flat(d1, d2)                     # (B,L,N) int
+    depth_map = jnp.where(dmask == 1, dep1[..., None],
+                          jnp.where(dmask == 2, dep2[..., None], 0.0))
+
+    # stop-gradient folded global maps (reference :95-105); relayout to the
+    # gridded form only here, outside the gradient path
+    count = fold_count(H, W, R, stride, est.dtype)
+    pg = jnp.moveaxis(jax.lax.stop_gradient(patches), 2, -1)     # (B,2,L,N,C)
+    pg = pg.reshape(B * 2, Hp, Wp, R, R, 3)
+    global_image = fold(pg, H, W, stride) / count[:, :, None]    # (B2,H,W,3)
+    bg = jax.lax.stop_gradient(local_bndry).reshape(B, Hp, Wp, R, R, 1)
+    global_bndry = fold(bg, H, W, stride)[..., 0] / count        # (B,H,W)
+
+    # 1) color (reference :130)
+    t_color = jnp.mean(jnp.sum((gt_patches - patches) ** 2, axis=2))
+
+    # 2) color consistency vs detached folded pair (reference :95-99)
+    gi_patches = unfold_flat(global_image.reshape(B, 2, H, W, 3), R)
+    t_color_cons = jnp.mean(jnp.sum((patches - gi_patches) ** 2, axis=2))
+
+    # 3) boundary consistency (reference :101-105)
+    gb = unfold(global_bndry[..., None], R, stride)              # (B,Hp,Wp,R,R,1)
+    gb_patches = gb.reshape(B, L, N)
+    t_bndry_cons = jnp.mean((local_bndry - gb_patches) ** 2)
+
+    # 4-5) smoothness terms (reference :107-116) as flat MXU Sobel
+    patches_deri = image_derivative_flat(patches, R)             # (B,2,C,L,N2)
+    gt_deri_patches = unfold_flat(deri, R - 2)
+    gi_deri = image_derivative(global_image)                     # (B2,H-2,W-2,3)
+    gi_deri_patches = unfold_flat(gi_deri.reshape(B, 2, H - 2, W - 2, 3), R - 2)
+    t_smthns = jnp.mean(jnp.sum((patches_deri - gt_deri_patches) ** 2, axis=2))
+    t_smthns_cons = jnp.mean(jnp.sum((patches_deri - gi_deri_patches) ** 2, axis=2))
+
+    # 6) boundary localization (reference :118-122)
+    bd = unfold(jnp.log2(bndry_dist + 1.0)[..., None], R, stride)
+    t_bndry_loc = jnp.mean((bd.reshape(B, L, N) * local_bndry) ** 2)
+
+    # 7) masked depth (reference :124-128), as (sum, count)
+    bdep = unfold(bndry_depth[..., None], R, stride).reshape(B, L, N)
+    dmask_f = jnp.where(bdep == 0, 0.0, jnp.where(dmask == 0, 0.0, 1.0))
+    depth_S = jnp.sum(((depth_map - bdep) * dmask_f) ** 2)
+    depth_N = jnp.sum(dmask_f)
 
     terms = jnp.stack([t_color, t_color_cons, t_bndry_cons, t_smthns,
                        t_smthns_cons, t_bndry_loc])

@@ -12,7 +12,7 @@ import numpy as np
 H, R, STRIDE = 49, 21, 2
 
 
-def compute(img: np.ndarray, densifies):
+def compute(img: np.ndarray, densifies, img_h: int = H):
     import torch
 
     from . import oracle
@@ -39,7 +39,7 @@ def compute(img: np.ndarray, densifies):
 
     results = {}
     for densify in densifies:
-        args = oracle.make_args(batch_size=1, img_size=[H, H], stride=STRIDE,
+        args = oracle.make_args(batch_size=1, img_size=[img_h, img_h], stride=STRIDE,
                                 rho_prime=10.39, densify=densify)
         helper = bet.PostProcess(args, de.DepthEtas(args, t.device("cpu")),
                                  t.device("cpu"))
@@ -65,19 +65,32 @@ def compute(img: np.ndarray, densifies):
                          params[:, :, 8:] + 0.5], dim=2)
             col, col_shpd, col_refoc, bndry, gdepth, conf = helper(
                 est, img_patches, colors_only=False)
-        results[str(densify)] = dict(
+        entry = dict(
             global_image=np.asarray(col), global_shpd=np.asarray(col_shpd),
             global_refoc=np.asarray(col_refoc), global_bndry=np.asarray(bndry),
             global_depth=np.asarray(gdepth), confidence=np.asarray(conf))
+        if densify == "pp":
+            # composed pp path (reference blurry_edges_test.py:141-142):
+            # the UNet densifies the raw folded depth map
+            unet_mod = oracle.load_module("models/depth_completion_unet.py",
+                                          "ref_unet_worker")
+            tunet = unet_mod.UNet(1, 1, bilinear=False)
+            tunet.eval()
+            with t.no_grad():
+                dense = tunet(t.from_numpy(np.asarray(gdepth)).unsqueeze(1))
+            entry["depth_final"] = dense.squeeze(1).numpy()
+            entry["unet_sd"] = {k: v.detach().cpu().numpy()
+                                for k, v in tunet.state_dict().items()}
+        results[str(densify)] = entry
 
     sd_local = {k: v.detach().cpu().numpy() for k, v in tlocal.state_dict().items()}
     sd_global = {k: v.detach().cpu().numpy() for k, v in tglobal.state_dict().items()}
     return sd_local, sd_global, results
 
 
-def main(conn, img):
+def main(conn, img, img_h=H, densifies=(None, "w")):
     try:
-        conn.send(("ok", compute(img, [None, "w"])))
+        conn.send(("ok", compute(img, list(densifies), img_h)))
     except Exception as e:  # pragma: no cover
         import traceback
         conn.send(("err", f"{e}\n{traceback.format_exc()}"))

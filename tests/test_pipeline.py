@@ -86,3 +86,88 @@ class TestInferenceParity:
                              theirs["global_depth"], 0.0)
         fd = np.abs(np.asarray(ours["depth_final"]) - exp_final)
         assert np.quantile(fd, 0.99) < 5e-3
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle unavailable")
+def test_pp_composed_path_parity():
+    """--densify pp composed path with converted UNet weights (reference
+    blurry_edges_test.py:141-142: the UNet densifies the raw folded depth)."""
+    img = rng.uniform(0, 1, size=(2, H, H, 3)).astype(np.float32)
+
+    ctx = mp.get_context("spawn")
+    parent, child = ctx.Pipe()
+    proc = ctx.Process(target=worker_main, args=(child, img, H, ("pp",)))
+    proc.start()
+    status, payload = parent.recv()
+    proc.join(timeout=120)
+    assert status == "ok", payload
+    sd_local, sd_global, outputs = payload
+    theirs = outputs["pp"]
+
+    lp, ls = tc.convert_local_stage(sd_local)
+    gp = tc.convert_global_stage(sd_global)
+    up, us = tc.convert_unet(theirs["unet_sd"])
+    mods = InferenceModules(
+        local_model=models.LocalStage(),
+        local_vars={"params": jax.tree.map(jnp.asarray, lp),
+                    "batch_stats": jax.tree.map(jnp.asarray, ls)},
+        global_model=models.GlobalStage(),
+        global_vars={"params": jax.tree.map(jnp.asarray, gp)},
+        unet_model=models.UNet(),
+        unet_vars={"params": jax.tree.map(jnp.asarray, up),
+                   "batch_stats": jax.tree.map(jnp.asarray, us)})
+
+    estimate = make_depth_estimator(mods, PATCH, GRID, CAM, densify="pp",
+                                    rho_prime=10.39)
+    with jax.default_matmul_precision("highest"):
+        ours = estimate(jnp.asarray(img))
+
+    fd = np.abs(np.asarray(ours["depth_final"]) - theirs["depth_final"])
+    assert np.quantile(fd, 0.99) < 5e-3, np.quantile(fd, 0.99)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle unavailable")
+def test_full_pipeline_parity_production_147():
+    """Full-scale 147x147 / 64x64-grid / 4,096-token parity (the production
+    configuration of reference blurry_edges_test.py; the PE slicing, fold
+    normalizer, and stitch paths are all shape-dependent so the 49x49 case
+    alone does not pin them down)."""
+    HP = 147
+    grid = GridConfig(H=HP, W=HP, R=R, stride=STRIDE)
+    img = rng.uniform(0, 1, size=(2, HP, HP, 3)).astype(np.float32)
+
+    ctx = mp.get_context("spawn")
+    parent, child = ctx.Pipe()
+    proc = ctx.Process(target=worker_main, args=(child, img, HP, (None,)))
+    proc.start()
+    status, payload = parent.recv()
+    proc.join(timeout=600)
+    assert status == "ok", payload
+    sd_local, sd_global, outputs = payload
+    theirs = outputs["None"]
+
+    lp, ls = tc.convert_local_stage(sd_local)
+    gp = tc.convert_global_stage(sd_global)
+    mods = InferenceModules(
+        local_model=models.LocalStage(),
+        local_vars={"params": jax.tree.map(jnp.asarray, lp),
+                    "batch_stats": jax.tree.map(jnp.asarray, ls)},
+        global_model=models.GlobalStage(),
+        global_vars={"params": jax.tree.map(jnp.asarray, gp)})
+
+    estimate = make_depth_estimator(mods, PATCH, grid, CAM, densify=None,
+                                    rho_prime=10.39)
+    with jax.default_matmul_precision("highest"):
+        ours = estimate(jnp.asarray(img))
+
+    npt.assert_allclose(np.asarray(ours["global_image"]).transpose(0, 1, 4, 2, 3),
+                        theirs["global_image"], rtol=5e-3, atol=5e-3)
+    npt.assert_allclose(np.asarray(ours["global_bndry"]),
+                        theirs["global_bndry"][:, 0], rtol=5e-3, atol=5e-3)
+    dd = np.abs(np.asarray(ours["global_depth"]) - theirs["global_depth"])
+    assert np.quantile(dd, 0.99) < 5e-3, np.quantile(dd, 0.99)
+    cd = np.abs(np.asarray(ours["confidence"]) - theirs["confidence"])
+    assert np.quantile(cd, 0.99) < 5e-3, np.quantile(cd, 0.99)
+    exp_final = np.where(theirs["confidence"] > 0.05, theirs["global_depth"], 0.0)
+    fd = np.abs(np.asarray(ours["depth_final"]) - exp_final)
+    assert np.quantile(fd, 0.99) < 5e-3
