@@ -12,7 +12,7 @@ import numpy as np
 H, R, STRIDE = 49, 21, 2
 
 
-def compute(img: np.ndarray, densifies, img_h: int = H):
+def compute(img: np.ndarray, densifies, img_h: int = H, est_denorm=None):
     import torch
 
     from . import oracle
@@ -47,6 +47,17 @@ def compute(img: np.ndarray, densifies, img_h: int = H):
         with t.no_grad():
             timg = t.from_numpy(img[None]).flatten(0, 1).permute(0, 3, 1, 2)
             img_patches = nn.Unfold(R, stride=STRIDE)(timg).view(2, 3, R, R, Hp, Hp)
+            if est_denorm is not None:
+                # structured-parity mode: bypass the networks and drive the
+                # render/fold chain with fixed denormalized parameters
+                est = t.from_numpy(est_denorm)
+                col, col_shpd, col_refoc, bndry, gdepth, conf = helper(
+                    est, img_patches, colors_only=False)
+                results[str(densify)] = dict(
+                    global_image=np.asarray(col), global_shpd=np.asarray(col_shpd),
+                    global_refoc=np.asarray(col_refoc), global_bndry=np.asarray(bndry),
+                    global_depth=np.asarray(gdepth), confidence=np.asarray(conf))
+                continue
             vec = img_patches.permute(0, 4, 5, 1, 2, 3).reshape(2 * Hp * Hp, 3, R, R)
             params_est = tlocal(vec.to(t.float32))
             params = params_est.view(2, Hp, Hp, 10).flatten(start_dim=1, end_dim=2).detach()
@@ -88,9 +99,9 @@ def compute(img: np.ndarray, densifies, img_h: int = H):
     return sd_local, sd_global, results
 
 
-def main(conn, img, img_h=H, densifies=(None, "w")):
+def main(conn, img, img_h=H, densifies=(None, "w"), est_denorm=None):
     try:
-        conn.send(("ok", compute(img, list(densifies), img_h)))
+        conn.send(("ok", compute(img, list(densifies), img_h, est_denorm)))
     except Exception as e:  # pragma: no cover
         import traceback
         conn.send(("err", f"{e}\n{traceback.format_exc()}"))

@@ -171,3 +171,76 @@ def test_full_pipeline_parity_production_147():
     exp_final = np.where(theirs["confidence"] > 0.05, theirs["global_depth"], 0.0)
     fd = np.abs(np.asarray(ours["depth_final"]) - exp_final)
     assert np.quantile(fd, 0.99) < 5e-3
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle unavailable")
+@pytest.mark.parametrize("densify", [None, "w"])
+def test_structured_params_exact_maps(densify):
+    """VERDICT item: a fixed, non-random parameter set (crisp, well-separated
+    wedges) through the render/DfD/fold chain - the thresholded maps
+    (depth-valid mask, confidence gating, wedge assignment) must match the
+    oracle pixel-for-pixel, closing the 1%-of-pixels blind spot of the
+    random-weight tests."""
+    import math
+
+    from blurry_edges_tpu.ops import params2etas, unfold
+    from blurry_edges_tpu.ops.dfd import DfDSolver
+    from blurry_edges_tpu.eval.pipeline import fold_outputs, render_full
+
+    L = GRID.num_tokens  # 15x15 = 225
+    ii = np.arange(L, dtype=np.float32)
+    est = np.zeros((1, L, 12), np.float32)
+    est[0, :, 0] = 0.35 * np.cos(0.37 * ii)          # x0
+    est[0, :, 1] = 0.30 * np.sin(0.29 * ii)          # y0
+    est[0, :, 2] = -0.25 + 0.1 * np.cos(0.53 * ii)   # x1
+    est[0, :, 3] = 0.2 * np.sin(0.41 * ii)           # y1
+    est[0, :, 4] = 0.3 + 0.013 * ii                  # theta1
+    est[0, :, 5] = 2.0                               # phi1 (< pi: interior +)
+    est[0, :, 6] = 4.0 - 0.009 * ii                  # theta2
+    est[0, :, 7] = 1.5                               # phi2
+    est[0, :, 8:] = 0.15                             # eta coefs -> eta ~ 1.5e-2
+
+    # deterministic structured image: two smooth color ramps
+    yy, xx = np.mgrid[0:H, 0:H].astype(np.float32) / H
+    img = np.stack([np.stack([xx, yy, 0.5 * (xx + yy)], -1),
+                    np.stack([yy, 0.5 + 0.3 * xx, xx], -1)])  # (2,H,H,3)
+
+    ctx = mp.get_context("spawn")
+    parent, child = ctx.Pipe()
+    proc = ctx.Process(target=worker_main,
+                       args=(child, img, H, (densify,), est))
+    proc.start()
+    status, payload = parent.recv()
+    proc.join(timeout=120)
+    assert status == "ok", payload
+    theirs = payload[2][str(densify)]
+
+    dfd = DfDSolver.from_config(CAM, PATCH)
+    Hp = GRID.H_patches
+    xy_angles = jnp.asarray(est[..., :8]).reshape(1, Hp, Hp, 8)
+    etas = params2etas(jnp.asarray(est[..., 8:]).reshape(1, Hp, Hp, 4))
+    img_patches = unfold(jnp.asarray(img), GRID.R, GRID.stride)[None]
+
+    with jax.default_matmul_precision("highest"):
+        rend = jax.jit(lambda xa, e, ip: fold_outputs(
+            render_full(xa, e, ip, PATCH, dfd, 10.39, densify == "w"), GRID)
+        )(xy_angles, etas, img_patches)
+
+    # continuous maps: tight tolerance
+    npt.assert_allclose(np.asarray(rend["global_image"]).transpose(0, 1, 4, 2, 3),
+                        theirs["global_image"], rtol=1e-4, atol=1e-4)
+    npt.assert_allclose(np.asarray(rend["global_bndry"]),
+                        theirs["global_bndry"][:, 0], rtol=1e-4, atol=1e-4)
+    npt.assert_allclose(np.asarray(rend["confidence"]), theirs["confidence"],
+                        rtol=1e-4, atol=1e-6)
+    npt.assert_allclose(np.asarray(rend["global_depth"]), theirs["global_depth"],
+                        rtol=1e-4, atol=1e-5)
+
+    # thresholded maps: pixel-for-pixel exact
+    thres = 0.0 if densify == "w" else 0.05
+    ours_valid = np.asarray(rend["confidence"]) > thres
+    theirs_valid = theirs["confidence"] > thres
+    npt.assert_array_equal(ours_valid, theirs_valid)
+    ours_final = np.where(ours_valid, np.asarray(rend["global_depth"]), 0.0)
+    theirs_final = np.where(theirs_valid, theirs["global_depth"], 0.0)
+    npt.assert_array_equal(ours_final == 0.0, theirs_final == 0.0)
