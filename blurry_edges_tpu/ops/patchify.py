@@ -41,6 +41,34 @@ def unfold(img, R: int, stride: int):
     return jnp.transpose(patches, (0, 1, 2, 4, 5, 3))
 
 
+def unfold_flat_cm(img, R: int, stride: int):
+    """Channel-major FLAT unfold via static strided slices:
+    img (N, H, W, C) -> (N, C, Hp*Wp, R*R).
+
+    Identical values to :func:`unfold` (pixel (di, dj) of patch (i, j) is
+    img[:, i*stride + di, j*stride + dj]); implemented as ONE static gather
+    on the flattened spatial axis instead of an identity-kernel conv. The
+    conv lowering burns MXU cycles on a 99.9%-zeros dense kernel and lands in
+    tiny-minor-dim layouts (measured 26-51 ms per conv-unfold inside the
+    global training step's chunk loop); the gather is pure data movement into
+    a (..., Hp*Wp, R*R) buffer whose minor dims tile cleanly. Note the
+    gather's transpose (scatter-add) is slow - use only where no gradient
+    flows through the unfold (true everywhere in the global loss: inputs are
+    data or stop-gradient maps).
+    """
+    import numpy as np
+
+    N, H, W, C = img.shape
+    Hp = (H - R) // stride + 1
+    Wp = (W - R) // stride + 1
+    ii = (np.arange(Hp) * stride)[:, None, None, None] + np.arange(R)[None, None, :, None]
+    jj = (np.arange(Wp) * stride)[None, :, None, None] + np.arange(R)[None, None, None, :]
+    pos = (ii * W + jj).reshape(-1)                        # (L * R*R,)
+    flat = jnp.moveaxis(img, -1, 1).reshape(N, C, H * W)
+    out = jnp.take(flat, jnp.asarray(pos), axis=2)
+    return out.reshape(N, C, Hp * Wp, R * R)
+
+
 def fold(patches, H: int, W: int, stride: int):
     """Overlap-add of patches back into an image - exact adjoint of
     :func:`unfold` (torch.nn.Fold semantics; reference

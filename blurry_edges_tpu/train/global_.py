@@ -180,6 +180,7 @@ def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth
     (ops.sobel.image_derivative_flat); folds/unfolds - forward-only data or
     stop-gradient consistency targets - relayout at the boundary.
     """
+    from ..ops.patchify import unfold_flat_cm
     from ..ops.wedge import (boundary_distance_field_flat, depth_masks_flat,
                              indicator_flat, params2dists_flat)
 
@@ -187,30 +188,38 @@ def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth
     Hp, Wp, R, H, W, stride = (grid.H_patches, grid.W_patches, grid.R,
                                grid.H, grid.W, grid.stride)
     L, N = Hp * Wp, R * R
-    est = est.reshape(B, L, 12)
-    xy_angles, etas = denormalize_global_train(est)      # (B,L,8), (B,L,4)
+    BL = B * L
+    # collapse (B, L) into one leading axis: a leading dim of 1 (per-sample
+    # grad-accum chunks) otherwise ends up minor in XLA's chosen layouts and
+    # the whole wedge chain runs on (1, 128) tiles at 1/8 VPU utilization
+    est = est.reshape(BL, 12)
+    xy_angles, etas = denormalize_global_train(est)      # (BL,8), (BL,4)
 
     coords = jnp.linspace(-1.0, 1.0, R, dtype=est.dtype)
     yg, xg = jnp.meshgrid(coords, coords, indexing="ij")
     xf, yf = xg.reshape(-1), yg.reshape(-1)
-    d1, d2 = params2dists_flat(xy_angles, xf, yf, patch_cfg.w)   # (B,L,N)
+    d1, d2 = params2dists_flat(xy_angles, xf, yf, patch_cfg.w)   # (BL,N)
 
-    # per-image soft memberships, stacked (B, 2, 3, L, N)
+    # per-image soft memberships, stacked (2, 3, BL, N)
     def memberships(e1, e2):
         h1 = indicator_flat(d1, e1)
         h2 = indicator_flat(d2, e2)
-        return jnp.stack([(1.0 - h1) * (1.0 - h2), h1 * (1.0 - h2), h2], axis=1)
+        return jnp.stack([(1.0 - h1) * (1.0 - h2), h1 * (1.0 - h2), h2], axis=0)
 
     U = jnp.stack([memberships(etas[..., 0], etas[..., 1]),
-                   memberships(etas[..., 2], etas[..., 3])], axis=1)
+                   memberships(etas[..., 2], etas[..., 3])], axis=0)
 
     def unfold_flat(imgs, r):
-        """(B, 2, h, w, C) -> (B, 2, C, L, r*r) channel-major flat patches."""
-        pf = unfold(imgs.reshape((B * 2,) + imgs.shape[2:]), r, stride)
-        pf = jnp.moveaxis(pf, -1, 1)                     # (B2, C, Hp, Wp, r, r)
-        return pf.reshape(B, 2, 3, L, r * r)
+        """(B, 2, h, w, C) -> (2, C, BL, r*r) channel-major flat patches."""
+        pf = unfold_flat_cm(imgs.reshape((B * 2,) + imgs.shape[2:]), r, stride)
+        pf = pf.reshape(B, 2, 3, L, r * r)
+        return jnp.moveaxis(pf, 0, 2).reshape(2, 3, BL, r * r)
 
-    y = unfold_flat(img_for_colors, R)                   # (B,2,C,L,N)
+    def unfold_flat_1c(m, r=R):
+        """(B, h, w) -> (BL, r*r)."""
+        return unfold_flat_cm(m[..., None], r, stride).reshape(BL, r * r)
+
+    y = unfold_flat(img_for_colors, R)                   # (2,C,BL,N)
     gt_patches = unfold_flat(img_gt, R)
 
     # joint ridge solve across the pair (reference global_training.py:62-67):
@@ -219,66 +228,65 @@ def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth
     gram = {}
     for i in range(3):
         for j in range(i, 3):
-            gram[(i, j)] = jnp.sum(U[:, :, i] * U[:, :, j], axis=(1, -1))
+            gram[(i, j)] = jnp.sum(U[:, i] * U[:, j], axis=(0, -1))
     At_A = jnp.stack([
         jnp.stack([gram[(min(i, j), max(i, j))] for j in range(3)], axis=-1)
-        for i in range(3)], axis=-2)                     # (B,L,3,3)
+        for i in range(3)], axis=-2)                     # (BL,3,3)
     At_y = jnp.stack([
-        jnp.stack([jnp.sum(U[:, :, k] * y[:, :, c], axis=(1, -1))
+        jnp.stack([jnp.sum(U[:, k] * y[:, c], axis=(0, -1))
                    for c in range(3)], axis=-1)
-        for k in range(3)], axis=-2)                     # (B,L,3k,3c)
+        for k in range(3)], axis=-2)                     # (BL,3k,3c)
     ridge = patch_cfg.lambda_ridge * jnp.eye(3, dtype=est.dtype)
     inv = inverse_3x3(At_A + ridge)
     colors = jnp.sum(inv[..., :, :, None] * At_y[..., None, :, :], axis=-2)
 
-    # rendered pair patches (B,2,C,L,N)
+    # rendered pair patches (2,C,BL,N)
     patches = sum(
-        U[:, :, k][:, :, None] * jnp.moveaxis(colors[..., k, :], -1, 1)[:, None, :, :, None]
+        U[:, k][:, None] * colors[..., k, :].T[None, :, :, None]
         for k in range(3))
 
-    local_bndry = normalized_gaussian(boundary_distance_field_flat(d1, d2))  # (B,L,N)
+    local_bndry = normalized_gaussian(boundary_distance_field_flat(d1, d2))  # (BL,N)
 
-    dep1 = dfd.etas2depth(etas[..., 0], etas[..., 2])    # (B,L)
+    dep1 = dfd.etas2depth(etas[..., 0], etas[..., 2])    # (BL,)
     dep2 = dfd.etas2depth(etas[..., 1], etas[..., 3])
-    dmask = depth_masks_flat(d1, d2)                     # (B,L,N) int
+    dmask = depth_masks_flat(d1, d2)                     # (BL,N) int
     depth_map = jnp.where(dmask == 1, dep1[..., None],
                           jnp.where(dmask == 2, dep2[..., None], 0.0))
 
     # stop-gradient folded global maps (reference :95-105); relayout to the
     # gridded form only here, outside the gradient path
     count = fold_count(H, W, R, stride, est.dtype)
-    pg = jnp.moveaxis(jax.lax.stop_gradient(patches), 2, -1)     # (B,2,L,N,C)
-    pg = pg.reshape(B * 2, Hp, Wp, R, R, 3)
+    pg = jax.lax.stop_gradient(patches).reshape(2, 3, B, L, N)
+    pg = jnp.transpose(pg, (2, 0, 3, 4, 1)).reshape(B * 2, Hp, Wp, R, R, 3)
     global_image = fold(pg, H, W, stride) / count[:, :, None]    # (B2,H,W,3)
     bg = jax.lax.stop_gradient(local_bndry).reshape(B, Hp, Wp, R, R, 1)
     global_bndry = fold(bg, H, W, stride)[..., 0] / count        # (B,H,W)
 
     # 1) color (reference :130)
-    t_color = jnp.mean(jnp.sum((gt_patches - patches) ** 2, axis=2))
+    t_color = jnp.mean(jnp.sum((gt_patches - patches) ** 2, axis=1))
 
     # 2) color consistency vs detached folded pair (reference :95-99)
     gi_patches = unfold_flat(global_image.reshape(B, 2, H, W, 3), R)
-    t_color_cons = jnp.mean(jnp.sum((patches - gi_patches) ** 2, axis=2))
+    t_color_cons = jnp.mean(jnp.sum((patches - gi_patches) ** 2, axis=1))
 
     # 3) boundary consistency (reference :101-105)
-    gb = unfold(global_bndry[..., None], R, stride)              # (B,Hp,Wp,R,R,1)
-    gb_patches = gb.reshape(B, L, N)
+    gb_patches = unfold_flat_1c(global_bndry)
     t_bndry_cons = jnp.mean((local_bndry - gb_patches) ** 2)
 
     # 4-5) smoothness terms (reference :107-116) as flat MXU Sobel
-    patches_deri = image_derivative_flat(patches, R)             # (B,2,C,L,N2)
+    patches_deri = image_derivative_flat(patches, R)             # (2,C,BL,N2)
     gt_deri_patches = unfold_flat(deri, R - 2)
     gi_deri = image_derivative(global_image)                     # (B2,H-2,W-2,3)
     gi_deri_patches = unfold_flat(gi_deri.reshape(B, 2, H - 2, W - 2, 3), R - 2)
-    t_smthns = jnp.mean(jnp.sum((patches_deri - gt_deri_patches) ** 2, axis=2))
-    t_smthns_cons = jnp.mean(jnp.sum((patches_deri - gi_deri_patches) ** 2, axis=2))
+    t_smthns = jnp.mean(jnp.sum((patches_deri - gt_deri_patches) ** 2, axis=1))
+    t_smthns_cons = jnp.mean(jnp.sum((patches_deri - gi_deri_patches) ** 2, axis=1))
 
     # 6) boundary localization (reference :118-122)
-    bd = unfold(jnp.log2(bndry_dist + 1.0)[..., None], R, stride)
-    t_bndry_loc = jnp.mean((bd.reshape(B, L, N) * local_bndry) ** 2)
+    bd = unfold_flat_1c(jnp.log2(bndry_dist + 1.0))
+    t_bndry_loc = jnp.mean((bd * local_bndry) ** 2)
 
     # 7) masked depth (reference :124-128), as (sum, count)
-    bdep = unfold(bndry_depth[..., None], R, stride).reshape(B, L, N)
+    bdep = unfold_flat_1c(bndry_depth)
     dmask_f = jnp.where(bdep == 0, 0.0, jnp.where(dmask == 0, 0.0, 1.0))
     depth_S = jnp.sum(((depth_map - bdep) * dmask_f) ** 2)
     depth_N = jnp.sum(dmask_f)
