@@ -582,10 +582,13 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True,
             data_train = shard_batch(data_train, mesh)
         state = state.replace(params=replicate(state.params, mesh),
                               opt_state=replicate(state.opt_state, mesh))
-    # per-sample gradient accumulation at production grid size: the batch-8
+    # gradient accumulation at production grid size: the full batch-8
     # backward over a 64x64 patch grid does not fit HBM next to the resident
-    # training set (semantics are exact - see make_step_fns)
-    grad_accum = args.batch_size if grid.num_tokens >= 4096 else 1
+    # training set (semantics are exact - see make_step_fns). Chunks of 2
+    # measured best: temp 4.2 GB (vs 7.3 GB at chunks of 4, which risks the
+    # 15.75 GB ceiling), and chunk size >= 2 also sidesteps XLA's distinct
+    # batch-1 matmul algorithm (test_grad_accum numerics note).
+    grad_accum = args.batch_size // 2 if grid.num_tokens >= 4096 else 1
     if device_data:
         epoch_train, epoch_eval = make_epoch_steps(model, tx, patch_cfg, grid,
                                                    dfd, args.batch_size,
