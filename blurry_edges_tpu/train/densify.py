@@ -95,8 +95,14 @@ def init_state(model: UNet, key, lr: float, H: int, W: int) -> Tuple[TrainState,
 
 def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
                          lr: float = 1e-4, source: str = "simulated",
-                         modules=None) -> None:
-    """Train the densifier on the basic-shape train/val set."""
+                         modules=None, max_samples=None) -> None:
+    """Train the densifier on the basic-shape train/val set.
+
+    ``max_samples``: optional (n_train, n_val) cap. The pipeline-sourced
+    sparse maps cost one full three-stage inference per image; capping keeps
+    sparse-map generation bounded (the UNet regresses a dense map from a
+    147x147 sparse observation - a few thousand samples saturate it).
+    """
     from tqdm import tqdm
 
     from ..utils.io import TrainLogger, create_directory, show_curve
@@ -107,14 +113,16 @@ def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
     key = set_seed(1869)
     create_directory(args.log_path, overwrite=False)
 
-    depths = {p: np.load(f"{args.data_path}/image_depths_{p}.npy").astype(np.float32)
-              for p in ("train", "val")}
-    bnds = {p: np.load(f"{args.data_path}/boundary_locations_{p}.npy").astype(np.float32)
-            for p in ("train", "val")}
+    caps = dict(zip(("train", "val"), max_samples)) if max_samples else {}
+    depths = {p: np.load(f"{args.data_path}/image_depths_{p}.npy")
+              .astype(np.float32)[:caps.get(p)] for p in ("train", "val")}
+    bnds = {p: np.load(f"{args.data_path}/boundary_locations_{p}.npy")
+            .astype(np.float32)[:caps.get(p)] for p in ("train", "val")}
     H, W = depths["train"].shape[1:]
 
     if source == "pipeline":
-        sparse_maps = {p: _pipeline_sparse_depths(args, p, modules) for p in ("train", "val")}
+        sparse_maps = {p: _pipeline_sparse_depths(args, p, modules, caps.get(p))
+                       for p in ("train", "val")}
     else:
         sparse_maps = None
 
@@ -171,7 +179,7 @@ def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
     logger.close()
 
 
-def _pipeline_sparse_depths(args, part: str, modules) -> np.ndarray:
+def _pipeline_sparse_depths(args, part: str, modules, n=None) -> np.ndarray:
     """Run the trained local+global pipeline over the shape images to produce
     the faithful confidence-thresholded sparse depth inputs."""
     from ..config import cam_from_args, grid_from_args, patch_from_args
@@ -184,7 +192,7 @@ def _pipeline_sparse_depths(args, part: str, modules) -> np.ndarray:
                                     densify=None)
     ds = ShapeDataset(args.data_path, train=part == "train", mode="global_pre")
     out = []
-    for i in range(len(ds)):
+    for i in range(len(ds) if n is None else min(n, len(ds))):
         img = ds.batch(np.array([i]))["img_ny"][0]
         out.append(np.asarray(estimate(jnp.asarray(img))["depth_final"][0]))
     return np.stack(out)

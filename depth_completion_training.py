@@ -12,7 +12,12 @@ if __name__ == "__main__":
     args = get_args("local_train", argv=argv)  # reuses data/log/model path flags
     args.data_path = args.data_path.replace("/patches", "")
     modules = None
+    max_samples = None
     if source == "pipeline":
         from blurry_edges_tpu.utils.weights import load_inference_modules
         modules = load_inference_modules(args)
-    run_densify_training(args, source=source, modules=modules)
+        # one full three-stage inference per sparse map: cap the set so
+        # sparse-map generation stays bounded
+        max_samples = (1500, 300)
+    run_densify_training(args, source=source, modules=modules,
+                         max_samples=max_samples)
