@@ -69,6 +69,40 @@ def unfold_flat_cm(img, R: int, stride: int):
     return out.reshape(N, C, Hp * Wp, R * R)
 
 
+def fold_flat(patches, H: int, W: int, R: int, stride: int):
+    """Overlap-add on FLAT patches: (M, Hp*Wp, R*R) -> (M, H, W).
+
+    Exact adjoint of :func:`unfold_flat_cm` per leading row (same values as
+    :func:`fold` on the corresponding gridded patches). Works directly on the
+    (L, R*R)-minor layout: per patch offset it slices one minor column and
+    accumulates (M, Hp, Wp) slabs, so no (.., R, R, C)-shaped temp ever
+    exists - the gridded fold's accumulator picks up 42.7x TPU tile padding
+    (a measured 3.45 GB HLO temp at production scale inside the global
+    training step).
+    """
+    M, L, RR = patches.shape
+    Hp = (H - R) // stride + 1
+    Wp = (W - R) // stride + 1
+    assert L == Hp * Wp and RR == R * R
+    s = stride
+    out = jnp.zeros((M, H, W), patches.dtype)
+    for a in range(min(s, R)):
+        for b in range(min(s, R)):
+            Ka = len(range(a, R, s))
+            Kb = len(range(b, R, s))
+            rows = (H - 1 - a) // s + 1
+            cols = (W - 1 - b) // s + 1
+            acc = jnp.zeros((M, max(Hp + Ka - 1, rows), max(Wp + Kb - 1, cols)),
+                            patches.dtype)
+            for k in range(Ka):
+                for l in range(Kb):
+                    off = (a + s * k) * R + (b + s * l)
+                    acc = acc.at[:, k:k + Hp, l:l + Wp].add(
+                        patches[:, :, off].reshape(M, Hp, Wp))
+            out = out.at[:, a::s, b::s].set(acc[:, :rows, :cols])
+    return out
+
+
 def fold(patches, H: int, W: int, stride: int):
     """Overlap-add of patches back into an image - exact adjoint of
     :func:`unfold` (torch.nn.Fold semantics; reference

@@ -253,14 +253,18 @@ def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth
     depth_map = jnp.where(dmask == 1, dep1[..., None],
                           jnp.where(dmask == 2, dep2[..., None], 0.0))
 
-    # stop-gradient folded global maps (reference :95-105); relayout to the
-    # gridded form only here, outside the gradient path
+    # stop-gradient folded global maps (reference :95-105), folded directly
+    # on the flat layout (the gridded fold's (.., R, R, C) accumulator
+    # carries 42.7x tile padding - a 3.45 GB HLO temp at production scale)
+    from ..ops.patchify import fold_flat
+
     count = fold_count(H, W, R, stride, est.dtype)
-    pg = jax.lax.stop_gradient(patches).reshape(2, 3, B, L, N)
-    pg = jnp.transpose(pg, (2, 0, 3, 4, 1)).reshape(B * 2, Hp, Wp, R, R, 3)
-    global_image = fold(pg, H, W, stride) / count[:, :, None]    # (B2,H,W,3)
-    bg = jax.lax.stop_gradient(local_bndry).reshape(B, Hp, Wp, R, R, 1)
-    global_bndry = fold(bg, H, W, stride)[..., 0] / count        # (B,H,W)
+    pg = jnp.transpose(jax.lax.stop_gradient(patches).reshape(2, 3, B, L, N),
+                       (2, 0, 1, 3, 4)).reshape(B * 2 * 3, L, N)
+    gi = fold_flat(pg, H, W, R, stride).reshape(B, 2, 3, H, W)
+    global_image = jnp.moveaxis(gi, 2, -1).reshape(B * 2, H, W, 3) / count[:, :, None]
+    bg = jax.lax.stop_gradient(local_bndry).reshape(B, L, N)
+    global_bndry = fold_flat(bg, H, W, R, stride) / count        # (B,H,W)
 
     # 1) color (reference :130)
     t_color = jnp.mean(jnp.sum((gt_patches - patches) ** 2, axis=1))
@@ -386,6 +390,15 @@ def make_step_fns(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConf
         return terms, S, N
 
     def _loss(params, batch, gammas, dropout_key, train: bool):
+        # HIGHEST precision everywhere: keeps transformer matmul operands in
+        # f32 (parity with the torch reference, which never truncates to
+        # bf16) AND stops XLA from hoisting a bf16 convert of the ENTIRE
+        # device-resident params_src out of the epoch scan (a measured
+        # 2.32 GB HLO temp)
+        with jax.default_matmul_precision("highest"):
+            return _loss_inner(params, batch, gammas, dropout_key, train)
+
+    def _loss_inner(params, batch, gammas, dropout_key, train: bool):
         batch = expand_compact_batch(batch)
         if grad_accum <= 1:
             terms, S, N = _loss_parts(params, batch, gammas, dropout_key, train)
