@@ -12,4 +12,6 @@ if __name__ == "__main__":
     if getattr(args, "dp_devices", 0) and args.dp_devices > 1:
         from blurry_edges_tpu.parallel import make_mesh
         mesh = make_mesh(args.dp_devices)
-    run_global_training(args, mesh=mesh)
+    # snapshot every epoch: at production scale an epoch is ~40 min on one
+    # chip, so losing one to a crash is expensive
+    run_global_training(args, snapshot_every=1, mesh=mesh)
