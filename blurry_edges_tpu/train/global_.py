@@ -530,6 +530,18 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True,
     ds_train = ShapeDataset(args.data_path, train=True, mode="global")
     ds_val = ShapeDataset(args.data_path, train=False, mode="global")
 
+    # BE_GLOBAL_TRAIN_SUBSET=n caps the train split (time-boxed runs on one
+    # chip: more epochs over fewer samples demonstrates the optimization
+    # dynamics better than a fraction of one full epoch)
+    import os as _os
+    subset = int(_os.environ.get("BE_GLOBAL_TRAIN_SUBSET", "0"))
+    if subset and subset < len(ds_train):
+        for a in ("input_param", "img_ny", "img_gt", "deri", "bndry_dist",
+                  "bndry_depth", "alpha"):
+            setattr(ds_train, a, getattr(ds_train, a)[:subset])
+        print(f"[global] train split capped to {subset} samples "
+              f"(BE_GLOBAL_TRAIN_SUBSET)", flush=True)
+
     # Training never reads img_ny (colors are solved on the clean images,
     # reference :210), so it stays off-device for the train split.
     compact_train = compact_arrays(ds_train, include_ny=False)
