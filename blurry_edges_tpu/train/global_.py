@@ -621,9 +621,36 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True,
     # batch-1 matmul algorithm (test_grad_accum numerics note).
     grad_accum = args.batch_size // 2 if grid.num_tokens >= 4096 else 1
     if device_data:
-        epoch_train, epoch_eval = make_epoch_steps(model, tx, patch_cfg, grid,
-                                                   dfd, args.batch_size,
-                                                   grad_accum)
+        # ONE XLA execution per optimizer step, batches gathered on device.
+        # This environment's tunneled TPU runtime kills executions that run
+        # for many minutes (a whole-epoch lax.scan at production scale
+        # crashed the worker mid-epoch, surfacing as UNAVAILABLE at the next
+        # sync); per-step dispatch keeps each execution a couple of seconds
+        # while device-resident data still avoids per-step host transfers.
+        _tstep, _estep = make_step_fns(model, tx, patch_cfg, grid, dfd,
+                                       grad_accum)
+        import functools as _ft
+
+        @_ft.partial(jax.jit, donate_argnums=0)
+        def device_step(state, data, idx, gammas, dkey):
+            batch = {k: v[idx] for k, v in data.items()}
+            return _tstep(state, batch, gammas, dkey)
+
+        @jax.jit
+        def device_eval_step(state, batch, gammas):
+            return _estep(state, batch, gammas)
+
+        def eval_per_batch(state, gammas, max_batches=None):
+            n = len(ds_val)
+            nb = n // args.batch_size
+            if max_batches:
+                nb = min(nb, max_batches)
+            total = 0.0
+            for b in range(nb):
+                sl = slice(b * args.batch_size, (b + 1) * args.batch_size)
+                batch = _put_chunk({k: v[sl] for k, v in compact_val.items()})
+                total += float(device_eval_step(state, batch, gammas))
+            return total / max(nb, 1)
     else:
         train_step, eval_step = make_steps(model, tx, patch_cfg, grid, dfd,
                                            grad_accum)
@@ -644,19 +671,25 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True,
     for epoch in tqdm(range(start_epoch, args.epoch_num)):
         gammas = gammas_to_array(schedules.gamma_schedule(epoch, args.dynamic_epoch, ranges))
         if device_data:
-            key, kp, kd = jax.random.split(key, 3)
-            perm = jax.random.permutation(kp, len(ds_train))
-            state, tr_loss = epoch_train(state, data_train, perm, gammas, kd)
+            key, kp = jax.random.split(key)
+            perm = np.asarray(jax.random.permutation(kp, len(ds_train)))
+            nb = len(ds_train) // args.batch_size
+            losses = []
+            for b in range(nb):
+                key, kd = jax.random.split(key)
+                idx = jnp.asarray(perm[b * args.batch_size:(b + 1) * args.batch_size])
+                state, l = device_step(state, data_train, idx, gammas, kd)
+                losses.append(l)
+            tr_loss = float(jnp.mean(jnp.stack(losses)))
             # BE_GLOBAL_SKIP_VAL=1: curve/checkpoint selection on the mean
-            # train loss instead of the val sweep (observed: the val-eval
-            # program crashes this environment's TPU worker runtime while
-            # the train program runs fine; test-set eval still provides the
-            # final quality numbers through the inference pipeline)
+            # train loss (saves the ~3 min val sweep in time-boxed runs);
+            # BE_GLOBAL_VAL_BATCHES=n caps the val sweep
             import os as _os2
             if _os2.environ.get("BE_GLOBAL_SKIP_VAL") == "1":
-                curve[epoch] = float(tr_loss)
+                curve[epoch] = tr_loss
             else:
-                curve[epoch] = eval_chunked(state, epoch_eval, final_g)
+                vb = int(_os2.environ.get("BE_GLOBAL_VAL_BATCHES", "0")) or None
+                curve[epoch] = eval_per_batch(state, final_g, vb)
         else:
             def put(batch_np):
                 if mesh is not None:
