@@ -29,39 +29,67 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_ours():
+def stage_modules(grid):
+    """Per-stage independent weight resolution (round-2 verdict: the previous
+    all-or-nothing load silently degraded the WHOLE bench to random init when
+    one stage was missing, even with a real trained local stage committed).
+
+    Returns (InferenceModules, {"local": "trained"|"random", "global": ...}).
+    """
+    import types
+
     import jax
     import jax.numpy as jnp
 
     from blurry_edges_tpu import models
+    from blurry_edges_tpu.eval.pipeline import InferenceModules
+    from blurry_edges_tpu.utils import torch_convert as tc
+    from blurry_edges_tpu.utils.weights import _load_stage
+
+    key = jax.random.PRNGKey(0)
+    model_path = os.environ.get(
+        "BE_WEIGHTS", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "pretrained_weights"))
+    local = models.LocalStage()
+    glob = models.GlobalStage()
+    provenance = {}
+
+    def resolve(names, convert_fn, init_fn, tag):
+        try:
+            vars_ = _load_stage(model_path, names, convert_fn,
+                                init_fn, allow_random=False)
+            provenance[tag] = "trained"
+        except FileNotFoundError:
+            vars_ = init_fn()
+            provenance[tag] = "random"
+        return vars_
+
+    local_vars = resolve(("pretrained_local_stage", "best_run_exp_local_stage"),
+                         tc.convert_local_stage,
+                         lambda: local.init(key, jnp.zeros((1, 21, 21, 3))),
+                         "local")
+    global_vars = resolve(("pretrained_global_stage", "best_run_exp_global_stage"),
+                          tc.convert_global_stage,
+                          lambda: glob.init(key, jnp.zeros((1, grid.num_tokens, 38))),
+                          "global")
+    mods = InferenceModules(local_model=local, local_vars=local_vars,
+                            global_model=glob, global_vars=global_vars)
+    log(f"weights from {model_path}: local={provenance['local']} "
+        f"global={provenance['global']}")
+    return mods, provenance
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+
     from blurry_edges_tpu.config import CamConfig, GridConfig, PatchConfig
-    from blurry_edges_tpu.eval.pipeline import (InferenceModules,
-                                                make_batched_depth_estimator,
+    from blurry_edges_tpu.eval.pipeline import (make_batched_depth_estimator,
                                                 make_depth_estimator)
 
     key = jax.random.PRNGKey(0)
     grid = GridConfig()
-    try:
-        # trained weights when shipped (same filenames the reference uses)
-        import types
-
-        from blurry_edges_tpu.utils.weights import load_inference_modules
-
-        wargs = types.SimpleNamespace(
-            model_path=os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "pretrained_weights"),
-            img_size=[grid.H, grid.W], R=grid.R, stride=grid.stride)
-        mods = load_inference_modules(wargs)
-        log("using trained weights from ./pretrained_weights")
-    except FileNotFoundError:
-        local = models.LocalStage()
-        glob = models.GlobalStage()
-        mods = InferenceModules(
-            local_model=local,
-            local_vars=local.init(key, jnp.zeros((1, 21, 21, 3))),
-            global_model=glob,
-            global_vars=glob.init(key, jnp.zeros((1, grid.num_tokens, 38))))
-        log("using random-init weights (timing-equivalent)")
+    mods, provenance = stage_modules(grid)
     fn = make_depth_estimator(mods, PatchConfig(), grid, CamConfig(), densify=None)
 
     imgs = [jax.random.uniform(jax.random.PRNGKey(i), (2, grid.H, grid.W, 3))
@@ -75,6 +103,19 @@ def bench_ours():
     pps = N_TIMED / dt
     log(f"ours (TPU, jitted single-pair): {pps:.3f} pairs/s ({dt / N_TIMED * 1e3:.1f} ms/pair)")
 
+    # Pallas colors-kernel on/off delta on the single-pair program (stderr
+    # visibility for the committed artifact; round-2 verdict item #4)
+    for flag in (False,):
+        foff = make_depth_estimator(mods, PatchConfig(), grid, CamConfig(),
+                                    densify=None, use_pallas=flag)
+        jax.block_until_ready(foff(imgs[0]))
+        t0 = time.time()
+        for i in range(N_TIMED):
+            jax.block_until_ready(foff(imgs[i]))
+        doff = time.time() - t0
+        log(f"ours (TPU, pallas colors OFF): {N_TIMED / doff:.3f} pairs/s "
+            f"({doff / N_TIMED * 1e3:.1f} ms/pair)")
+
     # throughput mode: batched pairs in one program (serving configuration)
     B = 8
     fb = make_batched_depth_estimator(mods, PatchConfig(), grid, CamConfig())
@@ -85,7 +126,7 @@ def bench_ours():
         jax.block_until_ready(fb(batch))
     bt = (time.time() - t0) / 5
     log(f"ours (TPU, batched x{B}):       {B / bt:.3f} pairs/s ({bt / B * 1e3:.1f} ms/pair)")
-    return max(pps, B / bt)
+    return max(pps, B / bt), provenance
 
 
 def bench_reference_cpu():
@@ -165,7 +206,7 @@ def bench_reference_cpu():
 
 
 def main():
-    ours = bench_ours()
+    ours, provenance = bench_ours()
     try:
         ref = bench_reference_cpu()
     except Exception as e:  # reference timing is best-effort
@@ -177,6 +218,7 @@ def main():
         "value": round(ours, 3),
         "unit": "image-pairs/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        "weights": provenance,
     }), flush=True)
 
 

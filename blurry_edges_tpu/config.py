@@ -138,6 +138,14 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--input_size', type=int, default=38, help='input layer size')
         parser.add_argument('--output_size', type=int, default=12, help='output layer size')
         parser.add_argument('--dp_devices', type=int, default=0, help='data-parallel devices (0/1 = single device); shards the batch over a jax mesh')
+        # TPU-harness additions (no reference counterpart): time-boxed /
+        # crash-resilient runs on a single chip
+        parser.add_argument('--train_subset', type=int, default=0, help='cap the train split to the first N samples (0 = all)')
+        parser.add_argument('--val_batches', type=int, default=0, help='cap the per-epoch val sweep to N batches (0 = full sweep)')
+        parser.add_argument('--skip_val', action='store_true', help='skip the val sweep; best-checkpoint selection falls back to the mean TRAIN loss (deviation from reference best-val semantics, logged loudly)')
+        parser.add_argument('--snapshot_steps', type=int, default=50, help='full train-state snapshot every N optimizer steps (0 = epoch boundaries only)')
+        parser.add_argument('--attn_impl', type=str, default='xla', choices=['xla', 'flash'], help="global-stage attention: 'xla' (f32, torch-parity numerics) or 'flash' (Pallas kernel, no attention-prob dropout)")
+        parser.add_argument('--time_budget_s', type=int, default=0, help='exit cleanly (snapshot + resume marker) after N seconds of training (0 = no budget)')
 
     if mode == 'data_gen_test':  # reference utils/args.py:67-74
         parser.add_argument('--data_path', type=str, default='./data/data_test', help='path of dataset')

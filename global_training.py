@@ -12,6 +12,7 @@ if __name__ == "__main__":
     if getattr(args, "dp_devices", 0) and args.dp_devices > 1:
         from blurry_edges_tpu.parallel import make_mesh
         mesh = make_mesh(args.dp_devices)
-    # snapshot every epoch: at production scale an epoch is ~40 min on one
-    # chip, so losing one to a crash is expensive
-    run_global_training(args, snapshot_every=1, mesh=mesh)
+    # step-granular snapshots (--snapshot_steps, default 50): at production
+    # scale an epoch is many minutes on one chip and the round-2 runtime
+    # killed every marathon mid-epoch, so epoch-granularity is not enough
+    run_global_training(args, mesh=mesh)
