@@ -104,17 +104,18 @@ def bench_ours():
     log(f"ours (TPU, jitted single-pair): {pps:.3f} pairs/s ({dt / N_TIMED * 1e3:.1f} ms/pair)")
 
     # Pallas colors-kernel on/off delta on the single-pair program (stderr
-    # visibility for the committed artifact; round-2 verdict item #4)
-    for flag in (False,):
-        foff = make_depth_estimator(mods, PatchConfig(), grid, CamConfig(),
-                                    densify=None, use_pallas=flag)
-        jax.block_until_ready(foff(imgs[0]))
-        t0 = time.time()
-        for i in range(N_TIMED):
-            jax.block_until_ready(foff(imgs[i]))
-        doff = time.time() - t0
-        log(f"ours (TPU, pallas colors OFF): {N_TIMED / doff:.3f} pairs/s "
-            f"({doff / N_TIMED * 1e3:.1f} ms/pair)")
+    # visibility for the committed artifact; round-2 verdict item #4).
+    # Default is OFF since round 3 (XLA fusion beats the hand kernel,
+    # runs/r3/profile_serving.py); time the ON variant for the delta.
+    fon = make_depth_estimator(mods, PatchConfig(), grid, CamConfig(),
+                               densify=None, use_pallas=True)
+    jax.block_until_ready(fon(imgs[0]))
+    t0 = time.time()
+    for i in range(N_TIMED):
+        jax.block_until_ready(fon(imgs[i]))
+    don = time.time() - t0
+    log(f"ours (TPU, pallas colors ON):  {N_TIMED / don:.3f} pairs/s "
+        f"({don / N_TIMED * 1e3:.1f} ms/pair)")
 
     # throughput mode: batched pairs in one program (serving configuration)
     B = 8

@@ -28,9 +28,14 @@ from ..ops.params import normalize_token_features, wrap_local_params
 
 
 def use_pallas_default() -> bool:
-    """Auto policy for the fused Pallas colors kernel: on for real TPU
-    backends, off elsewhere (the Mosaic kernel has no efficient CPU path)."""
-    return jax.default_backend() == "tpu"
+    """Auto policy for the fused Pallas colors kernel: OFF by default.
+
+    Measured on the round-3 toolchain (runs/r3/profile_serving.py, TPU v5e):
+    local_tokens with XLA colors 55.8 ms vs 81.3 ms with the Pallas kernel -
+    XLA's fusion of the wedge chain into the surrounding program now beats
+    the hand kernel, which forces a materialization boundary at its call.
+    The kernel stays available (equality-tested) via use_pallas=True."""
+    return False
 
 
 def solve_patch_colors(params, patch_pixels, patch_cfg: PatchConfig,
@@ -52,13 +57,39 @@ def solve_patch_colors(params, patch_pixels, patch_cfg: PatchConfig,
             patch_pixels.reshape((-1,) + patch_pixels.shape[-3:]),
             R=patch_cfg.R, w=patch_cfg.w, lambda_ridge=patch_cfg.lambda_ridge)
         return colors.reshape(lead + (3, 3))
-    x, y = make_patch_grid(patch_cfg.R, params.dtype)
-    dists = params2dists(params[..., :8], x, y, patch_cfg.w)
+    # flat (..., N = R*R) layout throughout: the gridded (R, R[, 3]) form
+    # carries up to 42x TPU tile padding on its tiny minor dims, and the
+    # (441, 3)-shaped gram matmuls pad both MXU dims; the unrolled
+    # multiply-reduce over one ~2%-padded tile row is what the training loss
+    # uses (train/global_.py flat path, equality-tested there)
+    from ..ops.wedge import indicator_flat, inverse_3x3, params2dists_flat
+
+    R = patch_cfg.R
+    coords = jnp.linspace(-1.0, 1.0, R, dtype=params.dtype)
+    yg, xg = jnp.meshgrid(coords, coords, indexing="ij")
+    d1, d2 = params2dists_flat(params[..., :8], xg.reshape(-1), yg.reshape(-1),
+                               patch_cfg.w)                  # (..., N)
     etas = params2etas(params[..., 8:])
-    wedges = dists2indicators(dists, etas)
-    A = jnp.moveaxis(wedges, -3, -1).reshape(wedges.shape[:-3] + (patch_cfg.R**2, 3))
-    yv = patch_pixels.reshape(patch_pixels.shape[:-3] + (patch_cfg.R**2, 3))
-    return solve_colors(A, yv, patch_cfg.lambda_ridge)
+    h1 = indicator_flat(d1, etas[..., 0])
+    h2 = indicator_flat(d2, etas[..., 1])
+    U = jnp.stack([(1.0 - h1) * (1.0 - h2), h1 * (1.0 - h2), h2],
+                  axis=-2)                                   # (..., 3, N)
+    yv = jnp.moveaxis(
+        patch_pixels.reshape(patch_pixels.shape[:-3] + (R * R, 3)), -1, -2)
+    gram = {}
+    for i in range(3):
+        for j in range(i, 3):
+            gram[(i, j)] = jnp.sum(U[..., i, :] * U[..., j, :], axis=-1)
+    At_A = jnp.stack([
+        jnp.stack([gram[(min(i, j), max(i, j))] for j in range(3)], axis=-1)
+        for i in range(3)], axis=-2)                         # (..., 3, 3)
+    At_y = jnp.stack([
+        jnp.stack([jnp.sum(U[..., k, :] * yv[..., c, :], axis=-1)
+                   for c in range(3)], axis=-1)
+        for k in range(3)], axis=-2)                         # (..., 3k, 3c)
+    ridge = patch_cfg.lambda_ridge * jnp.eye(3, dtype=params.dtype)
+    inv = inverse_3x3(At_A + ridge)
+    return jnp.sum(inv[..., :, :, None] * At_y[..., None, :, :], axis=-2)
 
 
 def local_tokens(model: LocalStage, variables, img_pair, patch_cfg: PatchConfig,

@@ -54,8 +54,10 @@ def load_inference_modules(args, densify=None, allow_random: bool = False):
     grid = GridConfig(H=args.img_size[0], W=args.img_size[1], R=args.R,
                       stride=getattr(args, "stride", 2))
     key = jax.random.PRNGKey(0)
-    local = models.LocalStage()
-    glob = models.GlobalStage()
+    dtype = (jnp.bfloat16 if getattr(args, "serve_dtype", "float32") == "bfloat16"
+             else jnp.float32)
+    local = models.LocalStage(dtype=dtype)
+    glob = models.GlobalStage(dtype=dtype)
 
     local_vars = _load_stage(
         args.model_path,
@@ -76,7 +78,7 @@ def load_inference_modules(args, densify=None, allow_random: bool = False):
 
     unet_model, unet_vars = None, None
     if densify == "pp":
-        unet_model = models.UNet()
+        unet_model = models.UNet(dtype=dtype)
         unet_vars = _load_stage(
             args.model_path,
             ("pretrained_depth_completion_pp", "best_run_exp_depth_completion_pp"),
