@@ -117,17 +117,24 @@ def bench_ours():
     log(f"ours (TPU, pallas colors ON):  {N_TIMED / don:.3f} pairs/s "
         f"({don / N_TIMED * 1e3:.1f} ms/pair)")
 
-    # throughput mode: batched pairs in one program (serving configuration)
-    B = 8
-    fb = make_batched_depth_estimator(mods, PatchConfig(), grid, CamConfig())
-    batch = jax.random.uniform(key, (B, 2, grid.H, grid.W, 3))
-    jax.block_until_ready(fb(batch))
-    t0 = time.time()
-    for _ in range(5):
-        jax.block_until_ready(fb(batch))
-    bt = (time.time() - t0) / 5
-    log(f"ours (TPU, batched x{B}):       {B / bt:.3f} pairs/s ({bt / B * 1e3:.1f} ms/pair)")
-    return max(pps, B / bt), provenance
+    # throughput mode: batched pairs in one program (serving configuration);
+    # sweep batch to find the amortization sweet spot on this chip
+    best = pps
+    for B in (8, 16):
+        try:
+            fb = make_batched_depth_estimator(mods, PatchConfig(), grid, CamConfig())
+            batch = jax.random.uniform(key, (B, 2, grid.H, grid.W, 3))
+            jax.block_until_ready(fb(batch))
+            t0 = time.time()
+            for _ in range(5):
+                jax.block_until_ready(fb(batch))
+            bt = (time.time() - t0) / 5
+        except Exception as e:  # e.g. HBM OOM at the larger batch
+            log(f"batched x{B} failed ({type(e).__name__}); keeping smaller batch")
+            break
+        log(f"ours (TPU, batched x{B}):       {B / bt:.3f} pairs/s ({bt / B * 1e3:.1f} ms/pair)")
+        best = max(best, B / bt)
+    return best, provenance
 
 
 def bench_reference_cpu():

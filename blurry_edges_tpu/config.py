@@ -164,6 +164,7 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--rho_prime', type=float, default=10.39, help='equivalent optical power for refocusing')
         parser.add_argument('--densify', type=str, default=None, help='densification method, set None to disable', choices=[None, 'pp', 'w'])
         parser.add_argument('--serve_dtype', type=str, default='float32', choices=['float32', 'bfloat16'], help='model compute dtype for serving (params stay float32; bfloat16 roughly doubles MXU throughput - check METRICS.md for the accuracy delta before relying on it)')
+        parser.add_argument('--vis_max', type=int, default=0, help='write the 10-panel visualization for only the first N pairs (0 = all, reference behavior)')
         parser.add_argument('--dp_devices', type=int, default=0, help='devices to shard the big-path block grid over (0/1 = single device)')
         if big:
             parser.add_argument('--n_margin_patch', type=int, default=10, help='number of margin patches that will be removed for global maps')

@@ -113,8 +113,14 @@ def make_file_visualizer(args, big: bool = False):
     os.makedirs(outdir, exist_ok=True)
     size = args.big_img_size[0] if big else args.img_size[0]
     vis = Visualizer(args.rho_prime, img_size=size, scale=2 if big else 10)
+    # --vis_max N caps how many pairs get the ~22 MP 10-panel canvas (the
+    # reference writes every pair, blurry_edges_test.py:157-167; on the
+    # tunneled chip PNG encode can rival the jitted inference itself)
+    vis_max = getattr(args, "vis_max", 0) or None
 
     def cb(j, img_ny, gt_depth, out):
+        if vis_max is not None and j >= vis_max:
+            return
         canvas = vis.visualize(
             img_ny[0], img_ny[1],
             out["global_image"][0, 0], out["global_image"][0, 1],
