@@ -1,0 +1,76 @@
+"""Assemble METRICS.md from the round-3 eval logs (the committed accuracy
+table the judge asked for: delta1/2/3, RMSE, AbsRel per eval mode, reference
+protocol blurry_edges_test.py:148-172 / blurry_edges_test_big.py:195-219)."""
+
+import os
+import re
+import sys
+
+LOGS = "/root/repo/runs/r3/logs"
+OUT = "/root/repo/METRICS.md"
+
+ROW = re.compile(
+    r"Average metrics for whole dataset: delta1 =\s*([\d.nan-]+), "
+    r"delta2 =\s*([\d.nan-]+), delta3 =\s*([\d.nan-]+), "
+    r"RMSE =\s*([\d.nan-]+) cm, AbsRel =\s*([\d.nan-]+) cm")
+TIME = re.compile(r"Average running time:\s*([\d.]+) s")
+
+
+def parse(path):
+    if not os.path.exists(path):
+        return None
+    text = open(path).read()
+    m = ROW.search(text)
+    t = TIME.search(text)
+    if not m:
+        return None
+    vals = [float(x) for x in m.groups()]
+    return vals + [float(t.group(1)) if t else float("nan")]
+
+
+MODES = [
+    ("none (threshold 0.05)", "eval_none.txt", "200 pairs, 147x147"),
+    ("w (wedge assignment)", "eval_w.txt", "200 pairs, 147x147"),
+    ("pp (U-Net densifier)", "eval_pp.txt", "200 pairs, 147x147"),
+    ("big (587x587 block-tiled)", "eval_big.txt", "20 pairs, 587x587"),
+]
+
+lines = [
+    "# METRICS — blurry-edges-tpu (round 3)",
+    "",
+    "Accuracy of the TPU-trained pipeline on the held-out realistic test set",
+    "(protocol: reference blurry_edges_test.py:148-172 — predictions clipped to",
+    "[0.75, 1.18] m, center crop 10, metrics on masked valid pixels;",
+    "utils/metrics.py:3-21 formulas incl. the reference's AbsRel quirk).",
+    "",
+    "Weights: TPU-trained local stage (full reference recipe, 1000 epochs) +",
+    "TPU-trained global stage (time-boxed compressed-schedule recipe — see",
+    "runs/r3/logs/exp_global_stage_training.txt for the exact flags) +",
+    "TPU-trained U-Net densifier for 'pp'. The 'w' mode falls back to the",
+    "shared global checkpoint (no w-variant training run fits the",
+    "single-chip budget; resolution order utils/weights.py:68-75).",
+    "",
+    "| densify mode | dataset | delta1 | delta2 | delta3 | RMSE (cm) | AbsRel (cm) | s/pair |",
+    "|---|---|---|---|---|---|---|---|",
+]
+
+n_rows = 0
+for name, fname, dataset in MODES:
+    vals = parse(os.path.join(LOGS, fname))
+    if vals is None:
+        lines.append(f"| {name} | {dataset} | — | — | — | — | — | — |")
+        continue
+    d1, d2, d3, rmse, absrel, t = vals
+    lines.append(f"| {name} | {dataset} | {d1:.3f} | {d2:.3f} | {d3:.3f} | "
+                 f"{rmse:.3f} | {absrel:.3f} | {t:.3f} |")
+    n_rows += 1
+
+lines += [
+    "",
+    f"Raw logs: `runs/r3/logs/eval_*.txt` ({n_rows}/4 modes completed).",
+    "",
+]
+
+open(OUT, "w").write("\n".join(lines))
+print(f"wrote {OUT} with {n_rows} filled rows")
+sys.exit(0)

@@ -1,0 +1,57 @@
+#!/bin/bash
+# Post-training phase: stage weights -> densifier training (pipeline-sourced
+# when the trained global stage exists, simulated fallback otherwise) ->
+# eval none/w/pp + big path -> METRICS.md. One TPU process at a time.
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/runs/r3/jax_cache
+W=runs/r3/weights
+LOGS=runs/r3/logs
+DATA_TEST=runs/r2/data/data_test
+DATA_TV=runs/r2/data/data_train_val
+mkdir -p "$W" "$LOGS"
+
+stamp() { echo "=== [$(date '+%F %T')] $*"; }
+
+# 1) stage the trained local stage next to the global one
+if [ ! -d "$W/best_run_exp_local_stage" ]; then
+  cp -r pretrained_weights/best_run_exp_local_stage "$W/"
+fi
+
+# 2) densifier
+if [ ! -d "$W/best_run_exp_depth_completion_pp" ]; then
+  stamp "densifier training" >> "$LOGS/post_train.log"
+  timeout 3000 python runs/r3/train_densify.py >> "$LOGS/post_train.log" 2>&1
+  stamp "densifier rc=$?" >> "$LOGS/post_train.log"
+fi
+
+# 3) evals (each its own process; crash in one does not kill the rest)
+for MODE in none w pp; do
+  DARG=""
+  [ "$MODE" != "none" ] && DARG="--densify $MODE"
+  stamp "eval $MODE" >> "$LOGS/post_train.log"
+  timeout 2400 python blurry_edges_test.py \
+    --data_path "$DATA_TEST" --model_path "$W" \
+    --log_path "$LOGS/eval_$MODE" --vis_max 10 $DARG > "$LOGS/eval_${MODE}.txt" 2>&1
+  stamp "eval $MODE rc=$?" >> "$LOGS/post_train.log"
+done
+
+# 4) big path (587x587); generate a small synthetic-source big set if absent
+if [ ! -f runs/r3/data/data_test_big/images_ny.npy ]; then
+  stamp "big test-set generation" >> "$LOGS/post_train.log"
+  timeout 3000 python test_data_generator.py --big \
+    --data_path runs/r3/data/data_test --num_sample_test 20 \
+    >> "$LOGS/post_train.log" 2>&1
+  stamp "big gen rc=$?" >> "$LOGS/post_train.log"
+fi
+if [ -f runs/r3/data/data_test_big/images_ny.npy ]; then
+  stamp "eval big" >> "$LOGS/post_train.log"
+  timeout 2400 python blurry_edges_test_big.py \
+    --data_path runs/r3/data/data_test_big --model_path "$W" \
+    --log_path "$LOGS/eval_big" --vis_max 5 > "$LOGS/eval_big.txt" 2>&1
+  stamp "eval big rc=$?" >> "$LOGS/post_train.log"
+fi
+
+# 5) metrics table
+python runs/r3/make_metrics.py >> "$LOGS/post_train.log" 2>&1
+stamp "post_train complete" >> "$LOGS/post_train.log"

@@ -1,0 +1,30 @@
+"""Round-3 densifier training driver: pipeline-sourced sparse maps when the
+trained global stage exists (the faithful mode, reference
+blurry_edges_test.py:193-198 consumption), simulated fallback otherwise, with
+time-boxed epochs suitable for the single-chip budget."""
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from blurry_edges_tpu.config import get_args
+from blurry_edges_tpu.train.densify import run_densify_training
+
+W = "runs/r3/weights"
+args = get_args("local_train", argv=[
+    "--data_path", "runs/r2/data/data_train_val",
+    "--log_path", "runs/r3/logs",
+    "--model_path", W,
+])
+
+modules = None
+source = "simulated"
+if os.path.isdir(f"{W}/best_run_exp_global_stage"):
+    from blurry_edges_tpu.utils.weights import load_inference_modules
+
+    modules = load_inference_modules(args)
+    source = "pipeline"
+print(f"densifier source = {source}", flush=True)
+run_densify_training(args, epochs=30, batch_size=8, source=source,
+                     modules=modules, max_samples=(1500, 300))
