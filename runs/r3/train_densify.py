@@ -26,5 +26,15 @@ if os.path.isdir(f"{W}/best_run_exp_global_stage"):
     modules = load_inference_modules(args)
     source = "pipeline"
 print(f"densifier source = {source}", flush=True)
-run_densify_training(args, epochs=30, batch_size=8, source=source,
-                     modules=modules, max_samples=(1500, 300))
+try:
+    run_densify_training(args, epochs=30, batch_size=8, source=source,
+                         modules=modules, max_samples=(1500, 300))
+except Exception as e:
+    if source != "pipeline":
+        raise
+    # a pp checkpoint must exist regardless: fall back to the self-contained
+    # simulated sparsity mode (train/densify.py docstring)
+    print(f"pipeline-sourced densify failed ({type(e).__name__}: {e}); "
+          f"falling back to simulated", flush=True)
+    run_densify_training(args, epochs=30, batch_size=8, source="simulated",
+                         modules=None, max_samples=(1500, 300))
