@@ -184,15 +184,22 @@ def _pipeline_sparse_depths(args, part: str, modules, n=None) -> np.ndarray:
     the faithful confidence-thresholded sparse depth inputs."""
     from ..config import cam_from_args, grid_from_args, patch_from_args
     from ..data.datasets import ShapeDataset
-    from ..eval.pipeline import make_depth_estimator
+    from ..eval.pipeline import make_batched_depth_estimator
 
     assert modules is not None, "source='pipeline' needs trained InferenceModules"
-    estimate = make_depth_estimator(modules, patch_from_args(args),
-                                    grid_from_args(args), cam_from_args(args),
-                                    densify=None)
+    estimate = make_batched_depth_estimator(modules, patch_from_args(args),
+                                            grid_from_args(args),
+                                            cam_from_args(args), densify=None)
     ds = ShapeDataset(args.data_path, train=part == "train", mode="global_pre")
-    out = []
-    for i in range(len(ds) if n is None else min(n, len(ds))):
-        img = ds.batch(np.array([i]))["img_ny"][0]
-        out.append(np.asarray(estimate(jnp.asarray(img))["depth_final"][0]))
-    return np.stack(out)
+    total = len(ds) if n is None else min(n, len(ds))
+    chunk, out = 16, []
+    for s in range(0, total, chunk):
+        idx = np.arange(s, min(s + chunk, total))
+        imgs = ds.batch(idx)["img_ny"]
+        # keep the jitted program's batch shape static: pad the tail chunk
+        pad = chunk - len(idx)
+        if pad:
+            imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
+        depth = np.asarray(estimate(jnp.asarray(imgs))["depth_final"])
+        out.append(depth[:len(idx)])
+    return np.concatenate(out)
