@@ -18,9 +18,14 @@ if [ ! -d "$W/best_run_exp_local_stage" ]; then
   cp -r pretrained_weights/best_run_exp_local_stage "$W/"
 fi
 
-# 2) densifier
-if [ ! -d "$W/best_run_exp_depth_completion_pp" ]; then
-  stamp "densifier training" >> "$LOGS/post_train.log"
+# 2) densifier. Retrain when no pp checkpoint exists yet, OR when a trained
+# global stage exists but the current pp checkpoint came from the simulated
+# fallback (pp_source.txt marker; the faithful mode is pipeline-sourced,
+# reference blurry_edges_test.py:193-198)
+PP_SOURCE=$(cat "$W/pp_source.txt" 2>/dev/null || echo "unknown")
+if [ ! -d "$W/best_run_exp_depth_completion_pp" ] || \
+   { [ -d "$W/best_run_exp_global_stage" ] && [ "$PP_SOURCE" != "pipeline" ]; }; then
+  stamp "densifier training (prev source: $PP_SOURCE)" >> "$LOGS/post_train.log"
   timeout 3000 python runs/r3/train_densify.py >> "$LOGS/post_train.log" 2>&1
   stamp "densifier rc=$?" >> "$LOGS/post_train.log"
 fi

@@ -36,5 +36,12 @@ except Exception as e:
     # simulated sparsity mode (train/densify.py docstring)
     print(f"pipeline-sourced densify failed ({type(e).__name__}: {e}); "
           f"falling back to simulated", flush=True)
+    source = "simulated"
     run_densify_training(args, epochs=30, batch_size=8, source="simulated",
                          modules=None, max_samples=(1500, 300))
+
+# record which mode produced the checkpoint so the post-train chain can tell a
+# simulated fallback apart from the faithful pipeline-sourced product and
+# retrain once the trained global stage exists
+with open(f"{W}/pp_source.txt", "w") as f:
+    f.write(source + "\n")
