@@ -41,11 +41,21 @@ for MODE in none w pp; do
   stamp "eval $MODE rc=$?" >> "$LOGS/post_train.log"
 done
 
-# 4) big path (587x587); generate a small synthetic-source big set if absent
+# 4) big path (587x587). A CPU-side generator (runs/r3/biggen_cpu.py, pid in
+# /tmp/biggen.pid) may still be producing the set: wait for it (bounded)
+# rather than racing a second generation into the same directory.
+BIGGEN_PID=$(cat /tmp/biggen.pid 2>/dev/null || echo "")
+WAITED=0
+while [ ! -f runs/r3/data/data_test_big/images_ny.npy ] \
+      && [ -n "$BIGGEN_PID" ] && [ -d "/proc/$BIGGEN_PID" ] \
+      && [ "$WAITED" -lt 5400 ]; do
+  sleep 60; WAITED=$(( WAITED + 60 ))
+done
+[ "$WAITED" -gt 0 ] && stamp "waited ${WAITED}s on biggen" >> "$LOGS/post_train.log"
 if [ ! -f runs/r3/data/data_test_big/images_ny.npy ]; then
-  stamp "big test-set generation" >> "$LOGS/post_train.log"
+  stamp "big test-set generation (fallback, 8 samples)" >> "$LOGS/post_train.log"
   timeout 3000 python test_data_generator.py --big \
-    --data_path runs/r3/data/data_test --num_sample_test 20 \
+    --data_path runs/r3/data/data_test --num_sample_test 8 \
     >> "$LOGS/post_train.log" 2>&1
   stamp "big gen rc=$?" >> "$LOGS/post_train.log"
 fi
