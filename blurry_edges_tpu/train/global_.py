@@ -94,7 +94,8 @@ def _fold_mean(patches_rrc, H, W, stride, count):
 
 
 def global_loss_terms_gridded(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
-                              patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
+                              patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver,
+                              hard_mask: bool = False):
     """The loss terms of reference global_training.py:93-157, unweighted.
 
     Returns (terms (6,) - the per-batch means of color, color_cons,
@@ -120,7 +121,8 @@ def global_loss_terms_gridded(est, img_for_colors, img_gt, bndry_dist, deri, bnd
 
     patches, _, _, dists = render_pair_grid(xy_angles, etas, img_patches, patch_cfg)
     local_bndry = boundary_map(dists)                       # (B,Hp,Wp,R,R)
-    depth_map, depth_mask, _, _ = depth_from_etas(etas, dists, dfd)
+    depth_map, depth_mask, _, _ = depth_from_etas(etas, dists, dfd,
+                                                  hard_mask=hard_mask)
 
     count = fold_count(H, W, R, stride, est.dtype)
     global_image = jax.lax.stop_gradient(_fold_mean(patches, H, W, stride, count))
@@ -166,10 +168,17 @@ def global_loss_terms_gridded(est, img_for_colors, img_gt, bndry_dist, deri, bnd
 
 
 def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
-                      patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
+                      patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver,
+                      hard_mask: bool = False):
     """Flat-layout implementation of global_loss_terms_gridded (same
     reference semantics, global_training.py:93-157; equality-tested against
     the gridded form).
+
+    ``hard_mask=True`` supervises the depth term on the hard wedge-side
+    masks ('w'-variant; the masks the w-mode inference path consumes,
+    reference blurry_edges_test.py:47-49) instead of the near-boundary
+    Gaussian band. This trains the ``_w`` global-stage checkpoint the
+    reference distributes but has no training script for.
 
     Every gradient-carrying field is carried as (..., L, N) with
     L = Hp*Wp = 4096 and N = R*R = 441 (or N2 = (R-2)^2) minor dims: one
@@ -249,7 +258,7 @@ def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth
 
     dep1 = dfd.etas2depth(etas[..., 0], etas[..., 2])    # (BL,)
     dep2 = dfd.etas2depth(etas[..., 1], etas[..., 3])
-    dmask = depth_masks_flat(d1, d2)                     # (BL,N) int
+    dmask = depth_masks_flat(d1, d2, hard=hard_mask)     # (BL,N) int
     depth_map = jnp.where(dmask == 1, dep1[..., None],
                           jnp.where(dmask == 2, dep2[..., None], 0.0))
 
@@ -301,12 +310,13 @@ def global_loss_terms(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth
 
 
 def global_loss(est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
-                gammas, patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver):
+                gammas, patch_cfg: PatchConfig, grid: GridConfig, dfd: DfDSolver,
+                hard_mask: bool = False):
     """The weighted 7-term loss (reference global_training.py:130-139);
     gammas: (7,) in GAMMA_ORDER."""
     terms, depth_S, depth_N = global_loss_terms(
         est, img_for_colors, img_gt, bndry_dist, deri, bndry_depth,
-        patch_cfg, grid, dfd)
+        patch_cfg, grid, dfd, hard_mask=hard_mask)
     return jnp.sum(gammas[:6] * terms) + gammas[6] * depth_S / depth_N
 
 
@@ -363,7 +373,7 @@ def compact_arrays(ds, include_ny: bool):
 
 
 def make_step_fns(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
-                  dfd: DfDSolver, grad_accum: int = 1):
+                  dfd: DfDSolver, grad_accum: int = 1, hard_mask: bool = False):
     """Un-jitted step implementations (jit or scan them). Batches may be
     either expanded loss inputs or the compact device-resident form.
 
@@ -386,7 +396,8 @@ def make_step_fns(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConf
         img_colors = batch["img_gt"] if train else batch["img_ny"]
         terms, S, N = global_loss_terms(
             est, img_colors, batch["img_gt"], batch["bndry_dist"],
-            batch["deri"], batch["bndry_depth"], patch_cfg, grid, dfd)
+            batch["deri"], batch["bndry_depth"], patch_cfg, grid, dfd,
+            hard_mask=hard_mask)
         return terms, S, N
 
     def _loss(params, batch, gammas, dropout_key, train: bool):
@@ -436,9 +447,9 @@ def make_step_fns(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConf
 
 
 def make_steps(model: GlobalStage, tx, patch_cfg: PatchConfig, grid: GridConfig,
-               dfd: DfDSolver, grad_accum: int = 1):
+               dfd: DfDSolver, grad_accum: int = 1, hard_mask: bool = False):
     train_step, eval_step = make_step_fns(model, tx, patch_cfg, grid, dfd,
-                                          grad_accum)
+                                          grad_accum, hard_mask=hard_mask)
     return jax.jit(train_step), jax.jit(eval_step)
 
 
@@ -546,6 +557,10 @@ def run_global_training(args, snapshot_every: int = None, resume: bool = True,
     time_budget = getattr(args, "time_budget_s", 0)
     skip_val = getattr(args, "skip_val", False)
     val_batches = getattr(args, "val_batches", 0) or None
+    # --w_variant: train the hard-wedge-side-mask depth objective and save
+    # under the reference's *_w checkpoint names (blurry_edges_test.py:186-191)
+    w_variant = getattr(args, "w_variant", False)
+    exp = "exp_global_stage_w" if w_variant else "exp_global_stage"
     t_start = time.time()
 
     def say(msg):
@@ -594,7 +609,8 @@ def run_global_training(args, snapshot_every: int = None, resume: bool = True,
     # measured best; chunk size >= 2 also sidesteps XLA's distinct batch-1
     # matmul algorithm (test_grad_accum numerics note).
     grad_accum = args.batch_size // 2 if grid.num_tokens >= 4096 else 1
-    _tstep, _estep = make_step_fns(model, tx, patch_cfg, grid, dfd, grad_accum)
+    _tstep, _estep = make_step_fns(model, tx, patch_cfg, grid, dfd, grad_accum,
+                                   hard_mask=w_variant)
     import functools as _ft
 
     @_ft.partial(jax.jit, donate_argnums=0)
@@ -623,8 +639,8 @@ def run_global_training(args, snapshot_every: int = None, resume: bool = True,
 
     best_loss, best_epoch = np.inf, 0
     start_epoch, start_step, loss_sum, loss_count = 0, 0, 0.0, 0
-    snap_path = f"{args.model_path}/last_exp_global_stage"
-    curve_path = f"{args.log_path}/loss_curve_exp_global_stage.npy"
+    snap_path = f"{args.model_path}/last_{exp}"
+    curve_path = f"{args.log_path}/loss_curve_{exp}.npy"
     curve = np.zeros((args.epoch_num,), dtype=float)
     if os.path.exists(curve_path):
         prev = np.load(curve_path)
@@ -641,7 +657,7 @@ def run_global_training(args, snapshot_every: int = None, resume: bool = True,
             say(f"RESUMED at epoch {start_epoch} step {start_step} "
                 f"(best {best_loss:.6f} @ {best_epoch})")
 
-    logger = TrainLogger(f"{args.log_path}/exp_global_stage_training.txt",
+    logger = TrainLogger(f"{args.log_path}/{exp}_training.txt",
                          args, append=resumed)
     steplog = open(f"{args.log_path}/global_steps.log", "a")
     if skip_val:
@@ -697,7 +713,7 @@ def run_global_training(args, snapshot_every: int = None, resume: bool = True,
         logger.epoch(epoch, curve[epoch], sched.patience, sched.lr)
         if curve[epoch] < best_loss:
             best_loss, best_epoch = curve[epoch], epoch
-            save_checkpoint(f"{args.model_path}/best_run_exp_global_stage",
+            save_checkpoint(f"{args.model_path}/best_run_{exp}",
                             {"params": state.params})
         # LR scheduler only active after the second schedule phase begins
         # (reference global_training.py:220-221)
@@ -710,9 +726,10 @@ def run_global_training(args, snapshot_every: int = None, resume: bool = True,
     steplog.close()
     if not stop:
         np.save(curve_path, curve)
-        show_curve(args.log_path, curve, "loss_curve_exp_global_stage")
+        show_curve(args.log_path, curve, f"loss_curve_{exp}")
         logger.footer(best_epoch, best_loss)
         # completion marker for supervisor retry loops
-        with open(f"{args.model_path}/done_global", "w") as f:
+        done = "done_global_w" if w_variant else "done_global"
+        with open(f"{args.model_path}/{done}", "w") as f:
             f.write(f"best {best_loss:.8f} @ epoch {best_epoch}\n")
     logger.close()

@@ -24,7 +24,7 @@ PATCH = PatchConfig()
 DFD = DfDSolver.from_config(CamConfig(), PATCH)
 
 
-def _inputs(B):
+def _inputs(B, rng=rng):
     L = GRID.num_tokens
     bd = np.zeros((B, H, H), np.float32)
     bd[:, ::5, :] = 0.95
@@ -52,6 +52,21 @@ def test_flat_terms_match_gridded():
     npt.assert_allclose(np.asarray(t_f), np.asarray(t_g), rtol=2e-4, atol=1e-7)
     npt.assert_allclose(float(S_f), float(S_g), rtol=2e-4)
     assert float(N_f) == float(N_g)
+
+
+def test_flat_terms_match_gridded_hard_mask():
+    """The 'w'-variant depth objective (hard wedge-side masks) must agree
+    between layouts too, and actually change the depth term vs soft masks."""
+    args = _inputs(3, rng=np.random.default_rng(40))
+    t_g, S_g, N_g = tg.global_loss_terms_gridded(*args, PATCH, GRID, DFD,
+                                                 hard_mask=True)
+    t_f, S_f, N_f = tg.global_loss_terms(*args, PATCH, GRID, DFD,
+                                         hard_mask=True)
+    npt.assert_allclose(np.asarray(t_f), np.asarray(t_g), rtol=2e-4, atol=1e-7)
+    npt.assert_allclose(float(S_f), float(S_g), rtol=2e-4)
+    assert float(N_f) == float(N_g)
+    _, S_soft, N_soft = tg.global_loss_terms(*args, PATCH, GRID, DFD)
+    assert float(N_f) != float(N_soft) or float(S_f) != float(S_soft)
 
 
 def test_flat_grads_match_gridded():
