@@ -146,6 +146,7 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--snapshot_steps', type=int, default=50, help='full train-state snapshot every N optimizer steps (0 = epoch boundaries only)')
         parser.add_argument('--attn_impl', type=str, default='xla', choices=['xla', 'flash'], help="global-stage attention: 'xla' (f32, torch-parity numerics) or 'flash' (Pallas kernel, no attention-prob dropout)")
         parser.add_argument('--time_budget_s', type=int, default=0, help='exit cleanly (snapshot + resume marker) after N seconds of training (0 = no budget)')
+        parser.add_argument('--init_from', type=str, default=None, help='warm-start model params from this orbax checkpoint directory (optimizer/scheduler state starts fresh); e.g. fine-tune --w_variant from the trained shared global stage')
         parser.add_argument('--w_variant', action='store_true', help="train the 'w'-variant global stage: depth term supervised on hard wedge-side masks (the masks --densify w consumes at inference, reference blurry_edges_test.py:47-49); checkpoints/logs saved under *_w names (the reference distributes pretrained_global_stage_w.pth but ships no script to train it)")
 
     if mode == 'data_gen_test':  # reference utils/args.py:67-74

@@ -599,6 +599,14 @@ def run_global_training(args, snapshot_every: int = None, resume: bool = True,
                         out_parameter_size=args.output_size,
                         attn_impl=getattr(args, "attn_impl", "xla"))
     state, tx = init_state(model, key, args.learning_rate, grid.num_tokens)
+    init_from = getattr(args, "init_from", None)
+    if init_from:
+        # warm start (e.g. fine-tune the w-variant objective from the trained
+        # shared checkpoint); optimizer/scheduler state starts fresh
+        from .checkpoint import load_checkpoint
+        state = state.replace(params=jax.tree.map(
+            jnp.asarray, load_checkpoint(init_from)["params"]))
+        say(f"params warm-started from {init_from}")
     if mesh is not None:
         from ..parallel import replicate
         state = state.replace(params=replicate(state.params, mesh),
