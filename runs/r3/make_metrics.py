@@ -46,9 +46,13 @@ lines = [
     "Weights: TPU-trained local stage (full reference recipe, 1000 epochs) +",
     "TPU-trained global stage (time-boxed compressed-schedule recipe — see",
     "runs/r3/logs/exp_global_stage_training.txt for the exact flags) +",
-    "TPU-trained U-Net densifier for 'pp'. The 'w' mode falls back to the",
-    "shared global checkpoint (no w-variant training run fits the",
-    "single-chip budget; resolution order utils/weights.py:68-75).",
+    "TPU-trained U-Net densifier for 'pp'.",
+    ("The 'w' mode uses the w-variant global stage (--w_variant fine-tune "
+     "from the shared checkpoint: hard wedge-side depth masks, "
+     "runs/r3/logs/exp_global_stage_w_training.txt)."
+     if os.path.isdir("/root/repo/runs/r3/weights/best_run_exp_global_stage_w")
+     else "The 'w' mode falls back to the shared global checkpoint (no "
+          "w-variant run yet; resolution order utils/weights.py:68-75)."),
     "",
     "| densify mode | dataset | delta1 | delta2 | delta3 | RMSE (cm) | AbsRel (cm) | s/pair |",
     "|---|---|---|---|---|---|---|---|",
