@@ -118,9 +118,12 @@ def bench_ours():
         f"({don / N_TIMED * 1e3:.1f} ms/pair)")
 
     # throughput mode: batched pairs in one program (serving configuration);
-    # sweep batch to find the amortization sweet spot on this chip
+    # sweep batch to find the amortization sweet spot on this chip. x16's
+    # compile-time HBM estimate exceeds one v5e chip (17.56G > 15.75G,
+    # observed in runs/r3 post_train); x12 (~13.2G scaled) is the largest
+    # plausible step above x8.
     best = pps
-    for B in (8, 16):
+    for B in (8, 12):
         try:
             fb = make_batched_depth_estimator(mods, PatchConfig(), grid, CamConfig())
             batch = jax.random.uniform(key, (B, 2, grid.H, grid.W, 3))

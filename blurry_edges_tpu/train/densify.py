@@ -179,27 +179,45 @@ def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
     logger.close()
 
 
-def _pipeline_sparse_depths(args, part: str, modules, n=None) -> np.ndarray:
+def _pipeline_sparse_depths(args, part: str, modules, n=None,
+                            chunk: int = 8) -> np.ndarray:
     """Run the trained local+global pipeline over the shape images to produce
-    the faithful confidence-thresholded sparse depth inputs."""
+    the faithful confidence-thresholded sparse depth inputs.
+
+    ``chunk`` is the batched-estimator size. The x16 program's compile-time
+    HBM estimate exceeds one v5e chip (17.56G > 15.75G, observed); 8 fits.
+    On a compile/runtime failure the first time a chunk size is executed, the
+    size is halved and generation restarts (at most a couple of recompiles).
+    """
     from ..config import cam_from_args, grid_from_args, patch_from_args
     from ..data.datasets import ShapeDataset
     from ..eval.pipeline import make_batched_depth_estimator
 
     assert modules is not None, "source='pipeline' needs trained InferenceModules"
-    estimate = make_batched_depth_estimator(modules, patch_from_args(args),
-                                            grid_from_args(args),
-                                            cam_from_args(args), densify=None)
     ds = ShapeDataset(args.data_path, train=part == "train", mode="global_pre")
     total = len(ds) if n is None else min(n, len(ds))
-    chunk, out = 16, []
-    for s in range(0, total, chunk):
-        idx = np.arange(s, min(s + chunk, total))
-        imgs = ds.batch(idx)["img_ny"]
-        # keep the jitted program's batch shape static: pad the tail chunk
-        pad = chunk - len(idx)
-        if pad:
-            imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
-        depth = np.asarray(estimate(jnp.asarray(imgs))["depth_final"])
-        out.append(depth[:len(idx)])
-    return np.concatenate(out)
+
+    while True:
+        estimate = make_batched_depth_estimator(modules, patch_from_args(args),
+                                                grid_from_args(args),
+                                                cam_from_args(args), densify=None)
+        out = []
+        try:
+            for s in range(0, total, chunk):
+                idx = np.arange(s, min(s + chunk, total))
+                imgs = ds.batch(idx)["img_ny"]
+                # keep the jitted program's batch shape static: pad the tail
+                pad = chunk - len(idx)
+                if pad:
+                    imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
+                # depth_final is (B, 1, H, W): the per-image fold keeps its
+                # singleton batch dim under vmap — drop it
+                depth = np.asarray(estimate(jnp.asarray(imgs))["depth_final"])[:, 0]
+                out.append(depth[:len(idx)])
+            return np.concatenate(out)
+        except Exception:
+            if out or chunk <= 1:
+                raise  # failed mid-run, not at the first execution: real error
+            chunk //= 2
+            print(f"sparse-map estimator failed at first execution; "
+                  f"retrying with chunk={chunk}", flush=True)

@@ -26,7 +26,7 @@ PP_SOURCE=$(cat "$W/pp_source.txt" 2>/dev/null || echo "unknown")
 if [ ! -d "$W/best_run_exp_depth_completion_pp" ] || \
    { [ -d "$W/best_run_exp_global_stage" ] && [ "$PP_SOURCE" != "pipeline" ]; }; then
   stamp "densifier training (prev source: $PP_SOURCE)" >> "$LOGS/post_train.log"
-  timeout 3000 python runs/r3/train_densify.py >> "$LOGS/post_train.log" 2>&1
+  timeout 3600 python runs/r3/train_densify.py >> "$LOGS/post_train.log" 2>&1
   stamp "densifier rc=$?" >> "$LOGS/post_train.log"
 fi
 

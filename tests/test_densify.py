@@ -45,3 +45,63 @@ def test_unet_overfit_smoke():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     assert np.isfinite(float(eval_step(state, sparse, target)))
+
+
+def test_pipeline_sparse_depths_chunking(monkeypatch):
+    """Contract of the pipeline-sourced sparse-map generator: chunked batched
+    estimation with static-shape tail padding, the (B, 1, H, W) -> (B, H, W)
+    fold-batch-dim squeeze, sample ordering, and first-execution retry with a
+    halved chunk (the x16 program OOMs one v5e chip's HBM at compile)."""
+    import types
+
+    from blurry_edges_tpu.data import datasets as ds_mod
+    from blurry_edges_tpu.eval import pipeline as pipe_mod
+
+    H = W = 147
+    n_total = 5
+
+    class FakeDS:
+        def __init__(self, *a, **k):
+            pass
+
+        def __len__(self):
+            return n_total
+
+        def batch(self, idx):
+            return {"img_ny": np.broadcast_to(
+                np.asarray(idx, np.float32)[:, None, None, None, None],
+                (len(idx), 2, H, W, 3)).copy()}
+
+    built = {"n": 0}
+
+    def fake_make(mods, patch_cfg, grid, cam, densify=None, **kw):
+        built["n"] += 1
+        fail_first = built["n"] == 1
+
+        def estimate(imgs):
+            if fail_first:
+                raise RuntimeError("simulated compile OOM")
+            # per-sample depth = encoded sample index, with the estimator's
+            # real output layout (B, 1, H, W)
+            return {"depth_final": np.broadcast_to(
+                np.asarray(imgs)[:, 0, 0, 0, 0][:, None, None, None],
+                (imgs.shape[0], 1, H, W))}
+
+        return estimate
+
+    monkeypatch.setattr(ds_mod, "ShapeDataset", FakeDS)
+    monkeypatch.setattr(pipe_mod, "make_batched_depth_estimator", fake_make)
+
+    args = types.SimpleNamespace(data_path="/nonexistent", R=21, stride=2,
+                                 img_size=[H, W], w=1.0, alpha_lambda=5e-3,
+                                 mag=4.0,
+                                 cam_params={"s": 0.1104, "rho_1": 10.0,
+                                             "rho_2": 10.2, "sigma_cam": 0.003,
+                                             "pixel_pitch": 5.86e-6})
+    out = densify._pipeline_sparse_depths(args, "val", modules=object(),
+                                          chunk=4)
+    # first estimator failed at its first execution -> rebuilt at chunk=2
+    assert built["n"] == 2
+    assert out.shape == (n_total, H, W)
+    # ordering preserved, tail padding trimmed (5 = 2 + 2 + (1 + pad 1))
+    np.testing.assert_allclose(out[:, 0, 0], np.arange(n_total, dtype=np.float32))
