@@ -195,6 +195,7 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
 
     totals = np.zeros(5)
     total_time = 0.0
+    n_scored = 0
     for j in range(n):
         img_ny, gt_depth = ds[j]
         t0 = time.time()
@@ -205,8 +206,18 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
 
         depth = np.asarray(out["depth_final"])
         msk = depth > 0.0
+        inner = msk[:, args.crop:-args.crop, args.crop:-args.crop] \
+            if args.crop > 0 else msk
+        if not inner.any():
+            # zero predicted pixels: the reference's masked metrics are 0/0
+            # (undefined) here; exclude the image from the average instead of
+            # poisoning it with nan, and say so
+            print(f"Image pair #{j}: no predicted pixels above threshold; "
+                  f"excluded from averages, time ={dt: .3f} s", flush=True)
+            continue
         m = eval_depth(depth, gt_depth[None], msk, crop=args.crop)
         totals += np.asarray(m)
+        n_scored += 1
         print(f"Image pair #{j}: delta1 ={m[0]: .3f}, delta2 ={m[1]: .3f}, "
               f"delta3 ={m[2]: .3f}, RMSE ={m[3]: .3f} cm, AbsRel ={m[4]: .3f} cm, "
               f"time ={dt: .3f} s", flush=True)
@@ -216,7 +227,10 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
     if profile_dir:
         jax.profiler.stop_trace()
 
-    avg = totals / n
+    if n_scored < n:
+        print(f"\n{n - n_scored}/{n} images had empty predictions and were "
+              f"excluded from the metric averages", flush=True)
+    avg = totals / max(n_scored, 1)
     print(f"\nAverage running time:{total_time / n: .3f} s")
     print(f"Average metrics for whole dataset: delta1 ={avg[0]: .3f}, "
           f"delta2 ={avg[1]: .3f}, delta3 ={avg[2]: .3f}, RMSE ={avg[3]: .3f} cm, "
