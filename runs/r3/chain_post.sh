@@ -21,7 +21,8 @@ echo "=== [$(date '+%F %T')] post_train done rc=$? ===" >> "$LOG"
 
 # stage trained checkpoints where bench.py and users resolve them
 # (pretrained_weights/; resolution order utils/weights.py)
-for CKPT in best_run_exp_global_stage best_run_exp_depth_completion_pp; do
+for CKPT in best_run_exp_global_stage best_run_exp_depth_completion_pp \
+            last_exp_global_stage; do
   if [ -d "runs/r3/weights/$CKPT" ] && [ ! -d "pretrained_weights/$CKPT" ]; then
     cp -r "runs/r3/weights/$CKPT" pretrained_weights/
   fi
