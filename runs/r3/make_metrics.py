@@ -14,6 +14,7 @@ ROW = re.compile(
     r"delta2 =\s*([\d.nan-]+), delta3 =\s*([\d.nan-]+), "
     r"RMSE =\s*([\d.nan-]+) cm, AbsRel =\s*([\d.nan-]+) cm")
 TIME = re.compile(r"Average running time:\s*([\d.]+) s")
+EMPTY = re.compile(r"(\d+)/(\d+) images had empty predictions")
 
 
 def parse(path):
@@ -24,8 +25,10 @@ def parse(path):
     t = TIME.search(text)
     if not m:
         return None
+    e = EMPTY.search(text)
+    all_empty = e is not None and e.group(1) == e.group(2)
     vals = [float(x) for x in m.groups()]
-    return vals + [float(t.group(1)) if t else float("nan")]
+    return vals + [float(t.group(1)) if t else float("nan")], all_empty
 
 
 MODES = [
@@ -59,14 +62,21 @@ lines = [
 ]
 
 n_rows = 0
+any_empty = False
 for name, fname, dataset in MODES:
-    vals = parse(os.path.join(LOGS, fname))
-    if vals is None:
+    parsed = parse(os.path.join(LOGS, fname))
+    if parsed is None:
         lines.append(f"| {name} | {dataset} | — | — | — | — | — | — |")
         continue
+    vals, all_empty = parsed
     d1, d2, d3, rmse, absrel, t = vals
-    lines.append(f"| {name} | {dataset} | {d1:.3f} | {d2:.3f} | {d3:.3f} | "
-                 f"{rmse:.3f} | {absrel:.3f} | {t:.3f} |")
+    if all_empty:
+        lines.append(f"| {name} | {dataset} | n/a* | n/a* | n/a* | n/a* | "
+                     f"n/a* | {t:.3f} |")
+        any_empty = True
+    else:
+        lines.append(f"| {name} | {dataset} | {d1:.3f} | {d2:.3f} | {d3:.3f} | "
+                     f"{rmse:.3f} | {absrel:.3f} | {t:.3f} |")
     n_rows += 1
 
 lines += [
@@ -74,6 +84,15 @@ lines += [
     f"Raw logs: `runs/r3/logs/eval_*.txt` ({n_rows}/4 modes completed).",
     "",
 ]
+if any_empty:
+    lines += [
+        "\\* every test image had zero pixels above the mode's boundary-"
+        "confidence threshold (0.05) at the current global-stage training "
+        "level, so there are no valid predictions to score — reported as n/a "
+        "rather than the misleading 0.000 the empty average would print. "
+        "The 'w'/'pp' modes densify past the threshold and do score.",
+        "",
+    ]
 
 open(OUT, "w").write("\n".join(lines))
 print(f"wrote {OUT} with {n_rows} filled rows")
