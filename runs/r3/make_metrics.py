@@ -6,7 +6,8 @@ import os
 import re
 import sys
 
-LOGS = "/root/repo/runs/r3/logs"
+LOGS = os.environ.get("BE_METRICS_LOGS", "/root/repo/runs/r3/logs")
+ROUND = os.environ.get("BE_METRICS_ROUND", "3")
 OUT = "/root/repo/METRICS.md"
 
 ROW = re.compile(
@@ -39,7 +40,7 @@ MODES = [
 ]
 
 lines = [
-    "# METRICS — blurry-edges-tpu (round 3)",
+    f"# METRICS — blurry-edges-tpu (round {ROUND})",
     "",
     "Accuracy of the TPU-trained pipeline on the held-out realistic test set",
     "(protocol: reference blurry_edges_test.py:148-172 — predictions clipped to",
@@ -48,12 +49,12 @@ lines = [
     "",
     "Weights: TPU-trained local stage (full reference recipe, 1000 epochs) +",
     "TPU-trained global stage (time-boxed compressed-schedule recipe — see",
-    "runs/r3/logs/exp_global_stage_training.txt for the exact flags) +",
+    f"{os.path.relpath(LOGS)}/exp_global_stage_training.txt for the exact flags) +",
     "TPU-trained U-Net densifier for 'pp'.",
     ("The 'w' mode uses the w-variant global stage (--w_variant fine-tune "
      "from the shared checkpoint: hard wedge-side depth masks, "
-     "runs/r3/logs/exp_global_stage_w_training.txt)."
-     if os.path.isdir("/root/repo/runs/r3/weights/best_run_exp_global_stage_w")
+     f"{os.path.relpath(LOGS)}/exp_global_stage_w_training.txt)."
+     if os.path.isdir(os.path.join(os.path.dirname(LOGS), "weights/best_run_exp_global_stage_w"))
      else "The 'w' mode falls back to the shared global checkpoint (no "
           "w-variant run yet; resolution order utils/weights.py:68-75)."),
     "",
@@ -81,7 +82,7 @@ for name, fname, dataset in MODES:
 
 lines += [
     "",
-    f"Raw logs: `runs/r3/logs/eval_*.txt` ({n_rows}/4 modes completed).",
+    f"Raw logs: `{os.path.relpath(LOGS)}/eval_*.txt` ({n_rows}/4 modes completed).",
     "",
 ]
 if any_empty:

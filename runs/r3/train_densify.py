@@ -1,4 +1,4 @@
-"""Round-3 densifier training driver: pipeline-sourced sparse maps when the
+"""Densifier training driver (BE_DENSIFY_ROOT selects the round dir): pipeline-sourced sparse maps when the
 trained global stage exists (the faithful mode, reference
 blurry_edges_test.py:193-198 consumption), simulated fallback otherwise, with
 time-boxed epochs suitable for the single-chip budget."""
@@ -11,10 +11,11 @@ sys.path.insert(0, "/root/repo")
 from blurry_edges_tpu.config import get_args
 from blurry_edges_tpu.train.densify import run_densify_training
 
-W = "runs/r3/weights"
+ROOT = os.environ.get("BE_DENSIFY_ROOT", "runs/r3")
+W = f"{ROOT}/weights"
 args = get_args("local_train", argv=[
     "--data_path", "runs/r2/data/data_train_val",
-    "--log_path", "runs/r3/logs",
+    "--log_path", f"{ROOT}/logs",
     "--model_path", W,
 ])
 
