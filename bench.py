@@ -18,6 +18,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Reuse the round's persistent XLA compilation cache when the caller didn't
+# set one: the eval pipelines compile the same depth-estimator programs, so a
+# warm cache turns ~4 cold compiles (minutes each through the TPU tunnel)
+# into seconds.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _here = os.path.dirname(os.path.abspath(__file__))
+    for _cand in ("runs/r4/jax_cache", "runs/r3/jax_cache", "runs/bench_jax_cache"):
+        _path = os.path.join(_here, _cand)
+        if os.path.isdir(_path) or _cand == "runs/bench_jax_cache":
+            os.makedirs(_path, exist_ok=True)
+            os.environ["JAX_COMPILATION_CACHE_DIR"] = _path
+            break
+
+# Preflight the TPU tunnel: when this environment's relay daemon dies, any
+# process that initializes the axon backend hangs forever at startup
+# (observed live; no error, no timeout). A closed relay port means no TPU —
+# fall back to CPU so the bench completes with an honest degraded number
+# instead of hanging the caller.
+def _tpu_tunnel_alive(port: int = 8082) -> bool:
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=3):
+            return True
+    except OSError:
+        return False
+
+
+_FORCE_CPU = False
+if "cpu" not in os.environ.get("JAX_PLATFORMS", "") and not _tpu_tunnel_alive():
+    # env alone is not enough: a sitecustomize force-registers the axon
+    # plugin and overrides jax_platforms, so bench_ours() also updates
+    # jax.config before backend init.
+    _FORCE_CPU = True
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    print("WARNING: TPU tunnel relay is down (127.0.0.1:8082 refused); "
+          "benchmarking on CPU fallback", file=sys.stderr, flush=True)
+
 import numpy as np
 
 N_WARMUP = 2
@@ -81,6 +118,12 @@ def stage_modules(grid):
 
 def bench_ours():
     import jax
+
+    if _FORCE_CPU:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from blurry_edges_tpu.config import CamConfig, GridConfig, PatchConfig
@@ -101,7 +144,14 @@ def bench_ours():
         jax.block_until_ready(fn(imgs[i]))
     dt = time.time() - t0
     pps = N_TIMED / dt
-    log(f"ours (TPU, jitted single-pair): {pps:.3f} pairs/s ({dt / N_TIMED * 1e3:.1f} ms/pair)")
+    plat = jax.devices()[0].platform.upper()
+    log(f"ours ({plat}, jitted single-pair): {pps:.3f} pairs/s ({dt / N_TIMED * 1e3:.1f} ms/pair)")
+
+    if _FORCE_CPU:
+        # the Mosaic kernel doesn't lower on CPU and the batched-serving
+        # sweep is pointless on one host core; report the single-pair number
+        log("CPU fallback: skipping Pallas on/off delta and batched sweep")
+        return pps, provenance
 
     # Pallas colors-kernel on/off delta on the single-pair program (stderr
     # visibility for the committed artifact; round-2 verdict item #4).
@@ -217,7 +267,10 @@ def bench_reference_cpu():
 
 
 def main():
+    import jax
+
     ours, provenance = bench_ours()
+    platform = jax.devices()[0].platform
     try:
         ref = bench_reference_cpu()
     except Exception as e:  # reference timing is best-effort
@@ -230,6 +283,7 @@ def main():
         "unit": "image-pairs/sec",
         "vs_baseline": round(vs, 2) if vs else None,
         "weights": provenance,
+        "platform": platform,
     }), flush=True)
 
 

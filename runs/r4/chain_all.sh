@@ -29,6 +29,21 @@ DATA_TV=runs/r2/data/data_train_val
 DATA_TEST=runs/r2/data/data_test
 DATA_BIG=runs/r3/data/data_test_big
 
+# --- preflight: the TPU tunnel relay (127.0.0.1:8082) must be alive --------
+# When the relay daemon dies (observed at the end of round 3), EVERY process
+# that initializes the axon backend hangs forever at startup; a chain that
+# launches anyway burns its whole budget on watchdog kill/retry loops. Wait
+# up to 60 min for the environment to restore it, else abort loudly.
+WAITED=0
+while ! timeout 3 bash -c 'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null; do
+  if [ "$WAITED" -ge 3600 ]; then
+    stamp "ABORT: TPU tunnel relay down for ${WAITED}s (ps aux | grep tpu_init)"
+    exit 1
+  fi
+  sleep 60; WAITED=$(( WAITED + 60 ))
+done
+[ "$WAITED" -gt 0 ] && stamp "tunnel came up after ${WAITED}s"
+
 # --- 0) seed round-4 weights/logs from round 3 (resume continuity) ---------
 for CKPT in best_run_exp_local_stage best_run_exp_global_stage \
             best_run_exp_global_stage_w best_run_exp_depth_completion_pp \
