@@ -20,6 +20,8 @@ R=runs/r4
 W=$R/weights
 LOGS=$R/logs
 mkdir -p "$W" "$LOGS" "$R/jax_cache"
+# seed the compile cache from round 3 (same programs/shapes -> warm hits)
+cp -n runs/r3/jax_cache/* "$R/jax_cache/" 2>/dev/null
 export JAX_COMPILATION_CACHE_DIR=/root/repo/$R/jax_cache
 LOG=$LOGS/chain_all.log
 stamp() { echo "=== [$(date '+%F %T')] $*" >> "$LOG"; }
@@ -101,22 +103,52 @@ stamp "densifier retrain (pipeline-sourced, BE_DENSIFY_ROOT=$R)"
 BE_DENSIFY_ROOT=$R timeout 4500 python runs/r3/train_densify.py >> "$LOG" 2>&1
 stamp "densifier rc=$?"
 
+# run_eval_guarded OUT CMD...: run CMD > OUT with a stall watchdog (the
+# runtime sporadically hangs a process AT STARTUP — observed on an eval:
+# 2 s of CPU, zero output, forever; a plain `timeout 2400` burns 40 min per
+# hang). Kill when OUT stops growing for 10 min; retry once in a fresh
+# process (fresh processes usually succeed).
+run_eval_guarded() {
+  local OUT=$1; shift
+  local TRY
+  for TRY in 1 2; do
+    : > "$OUT"
+    "$@" > "$OUT" 2>&1 &
+    local EPID=$!
+    local LAST_SZ=0 LAST_T=$(date +%s)
+    while kill -0 "$EPID" 2>/dev/null; do
+      sleep 30
+      local SZ=$(stat -c %s "$OUT" 2>/dev/null || echo 0)
+      local NOW=$(date +%s)
+      if [ "$SZ" -ne "$LAST_SZ" ]; then LAST_SZ=$SZ; LAST_T=$NOW; fi
+      if [ $(( NOW - LAST_T )) -gt 600 ]; then
+        stamp "EVAL WATCHDOG: $OUT stalled, killing $EPID (try $TRY)"
+        kill "$EPID" 2>/dev/null; sleep 5; kill -9 "$EPID" 2>/dev/null
+        break
+      fi
+    done
+    wait "$EPID" 2>/dev/null
+    grep -q "Average metrics" "$OUT" && return 0
+    stamp "eval try $TRY produced no metrics, $([ $TRY -eq 1 ] && echo retrying || echo giving up)"
+  done
+  return 1
+}
+
 # --- 3) evals none/pp/big with the improved shared stage --------------------
 for MODE in none pp; do
   DARG=""
   [ "$MODE" != "none" ] && DARG="--densify $MODE"
   stamp "eval $MODE"
-  timeout 2400 python blurry_edges_test.py \
+  run_eval_guarded "$LOGS/eval_${MODE}.txt" timeout 2400 python -u blurry_edges_test.py \
     --data_path "$DATA_TEST" --model_path "$W" \
-    --log_path "$LOGS/eval_$MODE" --vis_max 10 $DARG \
-    > "$LOGS/eval_${MODE}.txt" 2>&1
+    --log_path "$LOGS/eval_$MODE" --vis_max 10 $DARG
   stamp "eval $MODE rc=$?"
 done
 if [ -f "$DATA_BIG/images_ny.npy" ]; then
   stamp "eval big"
-  timeout 2400 python blurry_edges_test_big.py \
+  run_eval_guarded "$LOGS/eval_big.txt" timeout 2400 python -u blurry_edges_test_big.py \
     --data_path "$DATA_BIG" --model_path "$W" \
-    --log_path "$LOGS/eval_big" --vis_max 5 > "$LOGS/eval_big.txt" 2>&1
+    --log_path "$LOGS/eval_big" --vis_max 5
   stamp "eval big rc=$?"
 fi
 
@@ -154,10 +186,9 @@ while [ ! -f "$W/done_global_w" ]; do
   sleep 10
 done
 stamp "eval w"
-timeout 2400 python blurry_edges_test.py \
+run_eval_guarded "$LOGS/eval_w.txt" timeout 2400 python -u blurry_edges_test.py \
   --data_path "$DATA_TEST" --model_path "$W" \
-  --log_path "$LOGS/eval_w" --vis_max 10 --densify w \
-  > "$LOGS/eval_w.txt" 2>&1
+  --log_path "$LOGS/eval_w" --vis_max 10 --densify w
 stamp "eval w rc=$?"
 
 # --- 5) metrics + stage checkpoints + commit --------------------------------
