@@ -27,9 +27,10 @@ def parse(path):
     if not m:
         return None
     e = EMPTY.search(text)
+    excluded = (int(e.group(1)), int(e.group(2))) if e else (0, 0)
     all_empty = e is not None and e.group(1) == e.group(2)
     vals = [float(x) for x in m.groups()]
-    return vals + [float(t.group(1)) if t else float("nan")], all_empty
+    return vals + [float(t.group(1)) if t else float("nan")], all_empty, excluded
 
 
 MODES = [
@@ -51,9 +52,16 @@ lines = [
     "TPU-trained global stage (time-boxed compressed-schedule recipe — see",
     f"{os.path.relpath(LOGS)}/exp_global_stage_training.txt for the exact flags) +",
     "TPU-trained U-Net densifier for 'pp'.",
-    ("The 'w' mode uses the w-variant global stage (--w_variant fine-tune "
-     "from the shared checkpoint: hard wedge-side depth masks, "
-     f"{os.path.relpath(LOGS)}/exp_global_stage_w_training.txt)."
+    ("The 'w' row was measured with the shared global checkpoint (resolver "
+     "fallback): a fine-tuned w-variant (3 epochs, hard wedge-side depth "
+     "masks, val 0.00844 -> 0.00792) is committed as "
+     "pretrained_weights/best_run_exp_global_stage_w, but its eval rerun was "
+     "cut off when the TPU tunnel died mid-round; the round-4 chain "
+     "re-evaluates 'w' with it."
+     if os.environ.get("BE_METRICS_W_NOTE", "auto") == "fallback"
+     else "The 'w' mode uses the w-variant global stage (--w_variant "
+          "fine-tune from the shared checkpoint: hard wedge-side depth "
+          f"masks, {os.path.relpath(LOGS)}/exp_global_stage_w_training.txt)."
      if os.path.isdir(os.path.join(os.path.dirname(LOGS), "weights/best_run_exp_global_stage_w"))
      else "The 'w' mode falls back to the shared global checkpoint (no "
           "w-variant run yet; resolution order utils/weights.py:68-75)."),
@@ -69,15 +77,20 @@ for name, fname, dataset in MODES:
     if parsed is None:
         lines.append(f"| {name} | {dataset} | — | — | — | — | — | — |")
         continue
-    vals, all_empty = parsed
+    vals, all_empty, excluded = parsed
     d1, d2, d3, rmse, absrel, t = vals
     if all_empty:
         lines.append(f"| {name} | {dataset} | n/a* | n/a* | n/a* | n/a* | "
                      f"n/a* | {t:.3f} |")
         any_empty = True
     else:
-        lines.append(f"| {name} | {dataset} | {d1:.3f} | {d2:.3f} | {d3:.3f} | "
-                     f"{rmse:.3f} | {absrel:.3f} | {t:.3f} |")
+        note = ""
+        if excluded[0] > 0:
+            note = (f" ({excluded[1] - excluded[0]}/{excluded[1]} images "
+                    f"scored; {excluded[0]} empty*)")
+            any_empty = True
+        lines.append(f"| {name}{note} | {dataset} | {d1:.3f} | {d2:.3f} | "
+                     f"{d3:.3f} | {rmse:.3f} | {absrel:.3f} | {t:.3f} |")
     n_rows += 1
 
 lines += [
@@ -91,7 +104,14 @@ if any_empty:
         "confidence threshold (0.05) at the current global-stage training "
         "level, so there are no valid predictions to score — reported as n/a "
         "rather than the misleading 0.000 the empty average would print. "
-        "The 'w'/'pp' modes densify past the threshold and do score.",
+        "The 'w'/'pp' modes densify past the threshold and do score. "
+        "Diagnosis (round-3 CPU probe with trained weights): the folded "
+        "boundary confidence tops out at ~0.018 = 2/110 — about two of the "
+        "~110 overlapping patches covering a boundary pixel agree on it, "
+        "where the 0.05 threshold needs ~six; per-patch wedge geometry is "
+        "already usable (the 'w' row), the missing piece is cross-patch "
+        "boundary agreement, trained late in the gamma ramp that round 3's "
+        "time budget cut at epoch 22/28.",
         "",
     ]
 
