@@ -135,17 +135,19 @@ def bench_ours():
     mods, provenance = stage_modules(grid)
     fn = make_depth_estimator(mods, PatchConfig(), grid, CamConfig(), densify=None)
 
+    # CPU fallback runs ~60 s/pair on this one-core host; keep it bounded
+    n_timed = 3 if _FORCE_CPU else N_TIMED
     imgs = [jax.random.uniform(jax.random.PRNGKey(i), (2, grid.H, grid.W, 3))
-            for i in range(N_TIMED)]
+            for i in range(n_timed)]
     for i in range(N_WARMUP):
         jax.block_until_ready(fn(imgs[i % len(imgs)]))
     t0 = time.time()
-    for i in range(N_TIMED):
+    for i in range(n_timed):
         jax.block_until_ready(fn(imgs[i]))
     dt = time.time() - t0
-    pps = N_TIMED / dt
+    pps = n_timed / dt
     plat = jax.devices()[0].platform.upper()
-    log(f"ours ({plat}, jitted single-pair): {pps:.3f} pairs/s ({dt / N_TIMED * 1e3:.1f} ms/pair)")
+    log(f"ours ({plat}, jitted single-pair): {pps:.3f} pairs/s ({dt / n_timed * 1e3:.1f} ms/pair)")
 
     if _FORCE_CPU:
         # the Mosaic kernel doesn't lower on CPU and the batched-serving
