@@ -29,7 +29,13 @@ TRAIN_BUDGET=${TRAIN_BUDGET:-21600}
 W_BUDGET=${W_BUDGET:-5400}
 DATA_TV=runs/r2/data/data_train_val
 DATA_TEST=runs/r2/data/data_test
-DATA_BIG=runs/r3/data/data_test_big
+# prefer the 60-pair big set if its overnight CPU generation completed
+# (DONE marker guards against reading a half-written set)
+if [ -f runs/r3/data/data_test_big_v2/DONE ]; then
+  DATA_BIG=runs/r3/data/data_test_big_v2
+else
+  DATA_BIG=runs/r3/data/data_test_big
+fi
 
 # --- preflight: the TPU tunnel relay (127.0.0.1:8082) must be alive --------
 # When the relay daemon dies (observed at the end of round 3), EVERY process
