@@ -16,6 +16,12 @@
 #   W_BUDGET      w-variant fine-tune seconds   (default 90 min)
 set -u
 cd /root/repo
+# single-instance guard: two chains = two TPU processes = crash
+if [ -f /tmp/chain_all.pid ] && kill -0 "$(cat /tmp/chain_all.pid)" 2>/dev/null; then
+  echo "chain_all already running (pid $(cat /tmp/chain_all.pid)); exiting" >&2
+  exit 0
+fi
+echo $$ > /tmp/chain_all.pid
 R=runs/r4
 W=$R/weights
 LOGS=$R/logs
