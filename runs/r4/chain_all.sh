@@ -218,6 +218,14 @@ git add -f METRICS.md pretrained_weights "$LOGS"/eval_*.txt \
   "$LOGS/exp_depth_completion_training.txt" 2>/dev/null
 git diff --cached --quiet || git commit -q -m "Round-4 accuracy table: metrics with the ramp-complete global stage (none/w/pp/big)"
 
+# --- 5.5) committed bench artifact with the round's trained weights --------
+stamp "bench"
+BE_WEIGHTS=$PWD/pretrained_weights timeout 3600 python bench.py \
+  > "$LOGS/bench.json" 2> "$LOGS/bench_detail.txt"
+stamp "bench rc=$?"
+git add -f "$LOGS/bench.json" "$LOGS/bench_detail.txt" 2>/dev/null
+git diff --cached --quiet || git commit -q -m "Round-4 bench artifact: trained weights, Pallas on/off delta, batch sweep"
+
 # --- 6) slow-tier guarantees (TPU idle now; CPU-only mesh tests) ------------
 stamp "slow-tier pytest"
 timeout 5400 python -m pytest tests/test_dp_harness.py tests/test_big_sharded.py -q \
