@@ -47,16 +47,31 @@ fi
 # When the relay daemon dies (observed at the end of round 3), EVERY process
 # that initializes the axon backend hangs forever at startup; a chain that
 # launches anyway burns its whole budget on watchdog kill/retry loops. Wait
-# up to 60 min for the environment to restore it, else abort loudly.
+# up to 8 h for the environment to restore it (round 4 began with the relay
+# down), else abort loudly.
 WAITED=0
 while ! timeout 3 bash -c 'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null; do
-  if [ "$WAITED" -ge 3600 ]; then
+  if [ "$WAITED" -ge 28800 ]; then
     stamp "ABORT: TPU tunnel relay down for ${WAITED}s (ps aux | grep tpu_init)"
     exit 1
   fi
+  [ $(( WAITED % 600 )) -eq 0 ] && stamp "waiting for tunnel (${WAITED}s)"
   sleep 60; WAITED=$(( WAITED + 60 ))
 done
 [ "$WAITED" -gt 0 ] && stamp "tunnel came up after ${WAITED}s"
+
+# shrink the training budget if the tunnel outage ate into the round:
+# BE_ROUND_END_TS (epoch seconds) marks when the round's wall clock runs out;
+# reserve ~3.5 h after training for densify + 4 evals + w fine-tune + bench
+# + slow tier, clamp to [30 min, TRAIN_BUDGET].
+if [ -n "${BE_ROUND_END_TS:-}" ]; then
+  AVAIL=$(( BE_ROUND_END_TS - $(date +%s) - 12600 ))
+  if [ "$AVAIL" -lt "$TRAIN_BUDGET" ]; then
+    [ "$AVAIL" -lt 1800 ] && AVAIL=1800
+    stamp "trimming TRAIN_BUDGET $TRAIN_BUDGET -> $AVAIL (round end $(date -d @$BE_ROUND_END_TS '+%T'))"
+    TRAIN_BUDGET=$AVAIL
+  fi
+fi
 
 # --- 0) seed round-4 weights/logs from round 3 (resume continuity) ---------
 for CKPT in best_run_exp_local_stage best_run_exp_global_stage \
