@@ -46,14 +46,30 @@ def _tpu_tunnel_alive(port: int = 8082) -> bool:
 
 
 _FORCE_CPU = False
-if "cpu" not in os.environ.get("JAX_PLATFORMS", "") and not _tpu_tunnel_alive():
+_plat = os.environ.get("JAX_PLATFORMS", "")
+_tunnel_port = os.environ.get("BE_TUNNEL_PORT", "")
+# Probe ONLY on hosts that reach the TPU through the axon relay: an explicit
+# BE_TUNNEL_PORT, an axon JAX_PLATFORMS, or the relay script itself on disk.
+# A standard TPU VM (no relay) must never be demoted to CPU by a closed port;
+# BE_TUNNEL_PORT=0 disables the probe outright.
+if _tunnel_port in ("0", "off"):
+    _uses_tunnel = False
+else:
+    _uses_tunnel = (
+        bool(_tunnel_port)
+        or "axon" in _plat
+        or (not _plat and os.path.exists(os.path.expanduser("~/.tpu_init.py")))
+    )
+if ("cpu" not in _plat and _uses_tunnel
+        and not _tpu_tunnel_alive(int(_tunnel_port or 8082))):
     # env alone is not enough: a sitecustomize force-registers the axon
     # plugin and overrides jax_platforms, so bench_ours() also updates
     # jax.config before backend init.
     _FORCE_CPU = True
     os.environ["JAX_PLATFORMS"] = "cpu"
-    print("WARNING: TPU tunnel relay is down (127.0.0.1:8082 refused); "
-          "benchmarking on CPU fallback", file=sys.stderr, flush=True)
+    print("WARNING: TPU tunnel relay is down (port "
+          f"{_tunnel_port or 8082} refused); benchmarking on CPU fallback",
+          file=sys.stderr, flush=True)
 
 import numpy as np
 

@@ -196,6 +196,17 @@ def _pipeline_sparse_depths(args, part: str, modules, n=None,
     assert modules is not None, "source='pipeline' needs trained InferenceModules"
     ds = ShapeDataset(args.data_path, train=part == "train", mode="global_pre")
     total = len(ds) if n is None else min(n, len(ds))
+    if total == 0:
+        grid = grid_from_args(args)
+        return np.zeros((0, grid.H, grid.W), np.float32)
+
+    def _is_oom(exc) -> bool:
+        # only memory/compile-resource failures earn a halved-chunk retry;
+        # a genuine bug (shape/dtype/bad weights) must surface immediately,
+        # not after three multi-minute recompiles through the TPU tunnel
+        msg = str(exc)
+        return any(s in msg for s in ("RESOURCE_EXHAUSTED", "Out of memory",
+                                      "out of memory", "OOM", "Allocator"))
 
     while True:
         estimate = make_batched_depth_estimator(modules, patch_from_args(args),
@@ -215,9 +226,9 @@ def _pipeline_sparse_depths(args, part: str, modules, n=None,
                 depth = np.asarray(estimate(jnp.asarray(imgs))["depth_final"])[:, 0]
                 out.append(depth[:len(idx)])
             return np.concatenate(out)
-        except Exception:
-            if out or chunk <= 1:
-                raise  # failed mid-run, not at the first execution: real error
+        except Exception as exc:
+            if out or chunk <= 1 or not _is_oom(exc):
+                raise  # mid-run or non-OOM failure: real error, surface it
             chunk //= 2
-            print(f"sparse-map estimator failed at first execution; "
-                  f"retrying with chunk={chunk}", flush=True)
+            print(f"sparse-map estimator hit a resource limit at first "
+                  f"execution; retrying with chunk={chunk}", flush=True)

@@ -62,7 +62,12 @@ def save_step_snapshot(path: str, state, sched: PlateauScheduler, *,
 
 
 def load_step_snapshot(path: str, state, sched: PlateauScheduler):
-    """Restore (state, sched, mid-dict) from a step snapshot, or None."""
+    """Restore (state, sched, mid-dict) from a step snapshot, or None.
+
+    A snapshot written by the older epoch-granular ``save_train_snapshot``
+    (tree keyed 'counters', no 'mid') at the same path must not brick a
+    supervisor retry loop with an orbax tree-mismatch error - fall back to
+    None (fresh start) with a loud warning instead."""
     if not checkpoint_exists(path):
         return None
     target = {
@@ -75,7 +80,14 @@ def load_step_snapshot(path: str, state, sched: PlateauScheduler):
                 "best_epoch": np.int64(0)},
         "sched": {k: np.float64(v) for k, v in dataclasses.asdict(sched).items()},
     }
-    tree = load_checkpoint(path, target=target)
+    try:
+        tree = load_checkpoint(path, target=target)
+    except Exception as exc:  # orbax raises backend-specific tree errors
+        import sys
+        print(f"WARNING: step snapshot at {path} does not match the mid-epoch "
+              f"format (old epoch-granular snapshot?); starting fresh: {exc}",
+              file=sys.stderr, flush=True)
+        return None
     state = state.replace(
         params=jax.tree.map(jax.numpy.asarray, tree["params"]),
         batch_stats=jax.tree.map(jax.numpy.asarray, tree["batch_stats"]),

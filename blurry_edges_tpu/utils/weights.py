@@ -26,8 +26,11 @@ def _to_jnp(tree):
 
 
 def _load_stage(model_path: str, names, convert_fn, init_fn, allow_random: bool):
-    """Try each candidate name in order, as an orbax checkpoint dir first and
-    then a torch .pth state_dict (converted on the fly)."""
+    """Try each candidate name in priority order; for EACH name, an orbax
+    checkpoint dir is tried before a torch .pth state_dict. Resolution is
+    per-name so a reference ``pretrained_*.pth`` dropped into model_path
+    outranks the committed ``best_run_*`` training checkpoints (the names
+    tuples list the reference filenames first)."""
     from ..train.checkpoint import checkpoint_exists, load_checkpoint
 
     if isinstance(names, str):
@@ -36,7 +39,6 @@ def _load_stage(model_path: str, names, convert_fn, init_fn, allow_random: bool)
         ckpt_dir = os.path.join(model_path, name)
         if checkpoint_exists(ckpt_dir):
             return _to_jnp(load_checkpoint(ckpt_dir))
-    for name in names:
         pth = os.path.join(model_path, f"{name}.pth")
         if os.path.exists(pth):
             converted = convert_fn(tc.load_pth(pth))
