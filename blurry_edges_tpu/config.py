@@ -144,7 +144,7 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--val_batches', type=int, default=0, help='cap the per-epoch val sweep to N batches (0 = full sweep)')
         parser.add_argument('--skip_val', action='store_true', help='skip the val sweep; best-checkpoint selection falls back to the mean TRAIN loss (deviation from reference best-val semantics, logged loudly)')
         parser.add_argument('--snapshot_steps', type=int, default=50, help='full train-state snapshot every N optimizer steps (0 = epoch boundaries only)')
-        parser.add_argument('--attn_impl', type=str, default='xla', choices=['xla', 'flash'], help="global-stage attention: 'xla' (f32, torch-parity numerics) or 'flash' (Pallas kernel, no attention-prob dropout)")
+        parser.add_argument('--attn_impl', type=str, default='xla', choices=['xla', 'flash'], help="global-stage attention: 'xla' (f32, torch-parity numerics; used for all committed checkpoints) or 'flash' (Pallas kernel, EXPERIMENTAL: no attention-prob dropout, f32 operands, and measured SLOWER than 'xla' at this model's head_dim=16 on v5e - see METRICS.md)")
         parser.add_argument('--time_budget_s', type=int, default=0, help='exit cleanly (snapshot + resume marker) after N seconds of training (0 = no budget)')
         parser.add_argument('--init_from', type=str, default=None, help='warm-start model params from this orbax checkpoint directory (optimizer/scheduler state starts fresh); e.g. fine-tune --w_variant from the trained shared global stage')
         parser.add_argument('--w_variant', action='store_true', help="train the 'w'-variant global stage: depth term supervised on hard wedge-side masks (the masks --densify w consumes at inference, reference blurry_edges_test.py:47-49); checkpoints/logs saved under *_w names (the reference distributes pretrained_global_stage_w.pth but ships no script to train it)")
@@ -167,9 +167,10 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--densify', type=str, default=None, help='densification method, set None to disable', choices=[None, 'pp', 'w'])
         parser.add_argument('--serve_dtype', type=str, default='float32', choices=['float32', 'bfloat16'], help='model compute dtype for serving (params stay float32; bfloat16 roughly doubles MXU throughput - check METRICS.md for the accuracy delta before relying on it)')
         parser.add_argument('--vis_max', type=int, default=0, help='write the 10-panel visualization for only the first N pairs (0 = all, reference behavior)')
-        parser.add_argument('--dp_devices', type=int, default=0, help='devices to shard the big-path block grid over (0/1 = single device)')
+        parser.add_argument('--dp_devices', type=int, default=0, help='data-parallel devices (0/1 = single device); big path: shards the block grid over the mesh; 147x147 path: evaluates images in sharded groups of this size (s/pair = group time / devices)')
         if big:
             parser.add_argument('--n_margin_patch', type=int, default=10, help='number of margin patches that will be removed for global maps')
+            parser.add_argument('--block_chunk', type=int, default=4, help='blocks batched per lax.map step on the big path (1 = sequential; higher trades HBM for cross-block MXU batching)')
             parser.add_argument('--data_path', type=str, default='./data/data_test_big', help='path of dataset')
         else:
             parser.add_argument('--data_path', type=str, default='./data/data_test', help='path of dataset')

@@ -181,14 +181,35 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
 
     patch_cfg = patch_from_args(args)
     grid = grid_from_args(args)
-    estimate = make_depth_estimator(modules, patch_cfg, grid, cam_from_args(args),
-                                    densify=args.densify, rho_prime=args.rho_prime)
+    cam = cam_from_args(args)
     ds = TestDataset(args.data_path)
     n = len(ds) if max_images is None else min(max_images, len(ds))
 
+    # --dp_devices > 1: evaluate in data-parallel groups of D images, the
+    # batch axis sharded over a 'data' mesh (one pair per device). Per-image
+    # metrics are identical; the reported s/pair becomes group-time / D.
+    D = int(getattr(args, "dp_devices", 0) or 0)
+    if D > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(D)
+        shard = NamedSharding(mesh, P("data"))
+        batched = make_batched_depth_estimator(
+            modules, patch_cfg, grid, cam, densify=args.densify,
+            rho_prime=args.rho_prime)
+        estimate = lambda imgs: batched(jax.device_put(imgs, shard))  # noqa: E731
+    else:
+        D = 1
+        estimate = make_depth_estimator(modules, patch_cfg, grid, cam,
+                                        densify=args.densify,
+                                        rho_prime=args.rho_prime)
+
     # compile outside the timed region (the reference pays this on image #0)
     img0, _ = ds[0]
-    jax.block_until_ready(estimate(jnp.asarray(img0)))
+    warm = jnp.asarray(np.repeat(img0[None], D, 0)) if D > 1 else jnp.asarray(img0)
+    jax.block_until_ready(estimate(warm))
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -196,12 +217,11 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
     totals = np.zeros(5)
     total_time = 0.0
     n_scored = 0
-    for j in range(n):
-        img_ny, gt_depth = ds[j]
-        t0 = time.time()
-        out = estimate(jnp.asarray(img_ny))
-        jax.block_until_ready(out)
-        dt = time.time() - t0
+
+    def _score(j, img_ny, gt_depth, out, dt):
+        """Per-image scoring + prints shared by the single and DP loops.
+        Returns True if the image produced scorable predictions."""
+        nonlocal totals, total_time, n_scored
         total_time += dt
 
         depth = np.asarray(out["depth_final"])
@@ -214,7 +234,7 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
             # poisoning it with nan, and say so
             print(f"Image pair #{j}: no predicted pixels above threshold; "
                   f"excluded from averages, time ={dt: .3f} s", flush=True)
-            continue
+            return False
         m = eval_depth(depth, gt_depth[None], msk, crop=args.crop)
         totals += np.asarray(m)
         n_scored += 1
@@ -223,6 +243,30 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
               f"time ={dt: .3f} s", flush=True)
         if visualizer is not None:
             visualizer(j, img_ny, gt_depth, {k: np.asarray(v) for k, v in out.items()})
+        return True
+
+    if D > 1:
+        for g0 in range(0, n, D):
+            idx = list(range(g0, min(g0 + D, n)))
+            items = [ds[j] for j in idx]
+            imgs = np.stack([im for im, _ in items])
+            if len(idx) < D:  # pad the last group to the mesh size
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], D - len(idx), 0)])
+            t0 = time.time()
+            out = estimate(jnp.asarray(imgs))
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / D
+            for i, j in enumerate(idx):
+                _score(j, items[i][0], items[i][1],
+                       {k: v[i] for k, v in out.items()}, dt)
+    else:
+        for j in range(n):
+            img_ny, gt_depth = ds[j]
+            t0 = time.time()
+            out = estimate(jnp.asarray(img_ny))
+            jax.block_until_ready(out)
+            _score(j, img_ny, gt_depth, out, time.time() - t0)
 
     if profile_dir:
         jax.profiler.stop_trace()
@@ -231,10 +275,14 @@ def run_eval(args, modules: InferenceModules, visualizer=None, max_images=None,
         print(f"\n{n - n_scored}/{n} images had empty predictions and were "
               f"excluded from the metric averages", flush=True)
     avg = totals / max(n_scored, 1)
+    # when images were excluded, the subset basis must travel with the number
+    # itself, not only in the note above (a reader/parser taking this line in
+    # isolation would otherwise mistake a K-of-N average for a full-set one)
+    basis = f" (over {n_scored}/{n} scored images)" if n_scored < n else ""
     print(f"\nAverage running time:{total_time / n: .3f} s")
     print(f"Average metrics for whole dataset: delta1 ={avg[0]: .3f}, "
           f"delta2 ={avg[1]: .3f}, delta3 ={avg[2]: .3f}, RMSE ={avg[3]: .3f} cm, "
-          f"AbsRel ={avg[4]: .3f} cm", flush=True)
+          f"AbsRel ={avg[4]: .3f} cm{basis}", flush=True)
     return dict(delta1=avg[0], delta2=avg[1], delta3=avg[2], rmse=avg[3],
                 absrel=avg[4], avg_time=total_time / n,
                 pairs_per_sec=n / total_time)

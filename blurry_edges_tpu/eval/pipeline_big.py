@@ -65,7 +65,7 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
                              block_grid: GridConfig, big_grid: GridConfig,
                              cam: CamConfig, n_margin: int,
                              rho_prime: float = 10.39, depth_thres: float = 0.05,
-                             mesh=None):
+                             mesh=None, block_chunk: int = 4):
     """One jitted (2, Hbig, Wbig, 3) -> global maps function.
 
     ``mesh``: optional jax.sharding.Mesh with a 'data' axis. The block grid -
@@ -75,7 +75,14 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
     handling stays within a block, which overlaps its neighbours on read),
     and the only cross-shard communication is gathering the kept patch
     outputs for the margin-discard stitch + global fold (SURVEY.md
-    sections 2.2 / 5.8)."""
+    sections 2.2 / 5.8).
+
+    ``block_chunk``: blocks mapped per lax.map step (vmapped inside the
+    scan). 1 = pure-sequential (round-3 behavior, one block of activations
+    live at a time); the default 4 trades ~4 blocks' conv activations of
+    peak HBM for cross-block batching of the MXU work (a full x8-batched
+    147-pipeline fit one v5e in round 3, so 4 single-block cores are well
+    inside budget)."""
     from ..train.global_precal import local_tokens
 
     dfd = DfDSolver.from_config(cam, patch_cfg)
@@ -125,22 +132,26 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
             for iv in range(nb0) for ih in range(nb1)])        # (nB,2,147,147,3)
         # lax.map, not vmap: all blocks at once would push nB * 8,192 patches
         # through the local CNN in one batch (~33 GB of conv activations at
-        # 6x6 blocks) - sequential blocks keep peak memory at one block while
-        # the whole loop stays a single XLA program. With a mesh, the block
-        # axis is sharded: each device maps over its own blocks.
+        # 6x6 blocks); chunked mapping (batch_size=block_chunk) keeps peak
+        # memory at a few blocks while the whole loop stays a single XLA
+        # program. With a mesh, the block axis is sharded: each device maps
+        # over its own blocks.
+        bsz = block_chunk if block_chunk and block_chunk > 1 else None
         if mesh is not None and mesh.size > 1:
             from jax.sharding import PartitionSpec as P
 
             D = mesh.size
             nB = blocks.shape[0]
             pad = (-nB) % D
+            per_dev = (nB + pad) // D
+            bsz_dev = min(bsz, per_dev) if bsz else None
             blocks_p = jnp.pad(blocks, ((0, pad),) + ((0, 0),) * 4)
             shard_fn = jax.shard_map(
-                lambda blk: jax.lax.map(block_core, blk), mesh=mesh,
-                in_specs=P("data"), out_specs=P("data"))
+                lambda blk: jax.lax.map(block_core, blk, batch_size=bsz_dev),
+                mesh=mesh, in_specs=P("data"), out_specs=P("data"))
             outs = {k: v[:nB] for k, v in shard_fn(blocks_p).items()}
         else:
-            outs = jax.lax.map(block_core, blocks)
+            outs = jax.lax.map(block_core, blocks, batch_size=bsz)
         st = {k: v[idx_block, idx_vloc, idx_hloc]
               for k, v in outs.items()}                        # (HpB,WpB,flat)
         rend = dict(
@@ -175,7 +186,8 @@ def run_eval_big(args, modules: InferenceModules, visualizer=None,
         mesh = make_mesh(args.dp_devices)
     estimate = make_big_depth_estimator(modules, patch_cfg, block_grid, big_grid,
                                         cam_from_args(args), args.n_margin_patch,
-                                        rho_prime=args.rho_prime, mesh=mesh)
+                                        rho_prime=args.rho_prime, mesh=mesh,
+                                        block_chunk=getattr(args, "block_chunk", 4))
     ds = TestDataset(args.data_path)
     n = len(ds) if max_images is None else min(max_images, len(ds))
 
@@ -215,9 +227,11 @@ def run_eval_big(args, modules: InferenceModules, visualizer=None,
         print(f"\n{n - n_scored}/{n} images had empty predictions and were "
               f"excluded from the metric averages", flush=True)
     avg = totals / max(n_scored, 1)
+    # subset basis travels with the summary line itself (see pipeline.py)
+    basis = f" (over {n_scored}/{n} scored images)" if n_scored < n else ""
     print(f"\nAverage running time:{total_time / n: .3f} s")
     print(f"Average metrics for whole dataset: delta1 ={avg[0]: .3f}, "
           f"delta2 ={avg[1]: .3f}, delta3 ={avg[2]: .3f}, RMSE ={avg[3]: .3f} cm, "
-          f"AbsRel ={avg[4]: .3f} cm", flush=True)
+          f"AbsRel ={avg[4]: .3f} cm{basis}", flush=True)
     return dict(delta1=avg[0], delta2=avg[1], delta3=avg[2], rmse=avg[3],
                 absrel=avg[4], avg_time=total_time / n, pairs_per_sec=n / total_time)

@@ -58,6 +58,32 @@ def test_sharded_blocks_match_single_device():
         assert np.mean(d > 0.01) < 0.001, (k, np.mean(d > 0.01))
 
 
+@pytest.mark.slow
+def test_chunked_blocks_match_sequential():
+    """batch_size-chunked lax.map over the block grid (block_chunk=4) must
+    reproduce the pure-sequential round-3 behavior (block_chunk=1); only
+    vmap-vs-single reduction-order noise may differ."""
+    mods = _mods()
+    img = jnp.asarray(rng.uniform(0, 1, (2, BIG.H, BIG.W, 3)).astype(np.float32))
+
+    seq = make_big_depth_estimator(mods, PatchConfig(), BLOCK, BIG,
+                                   CamConfig(), N_MARGIN, block_chunk=1)
+    chk = make_big_depth_estimator(mods, PatchConfig(), BLOCK, BIG,
+                                   CamConfig(), N_MARGIN, block_chunk=4)
+    # 2x2 blocks with chunk 4 also exercises the full-batch (no-scan) branch;
+    # chunk 3 exercises full-chunk + remainder
+    rem = make_big_depth_estimator(mods, PatchConfig(), BLOCK, BIG,
+                                   CamConfig(), N_MARGIN, block_chunk=3)
+    out_s = seq(img)
+    for out in (chk(img), rem(img)):
+        for k in out_s:
+            a = np.asarray(out_s[k], np.float32)
+            b = np.asarray(out[k], np.float32)
+            d = np.abs(a - b)
+            assert np.quantile(d, 0.999) < 1e-4, (k, np.quantile(d, 0.999))
+            assert np.mean(d > 0.01) < 0.001, (k, np.mean(d > 0.01))
+
+
 @pytest.mark.skipif(
     not __import__("tests.oracle", fromlist=["available"]).available(),
     reason="reference oracle unavailable")
