@@ -48,6 +48,14 @@ lines = [
     "[0.75, 1.18] m, center crop 10, metrics on masked valid pixels;",
     "utils/metrics.py:3-21 formulas incl. the reference's AbsRel quirk).",
     "",
+    "**Protocol deviation (test data):** the reference's test generator",
+    "(test_data_generator.py:26-79) textures its layered-defocus scenes with",
+    "MS-COCO + Painting images, which are not available in this environment;",
+    "all rows below use the same generator's procedural-texture fallback",
+    "(blurry_edges_tpu/data/realistic_gen.py — identical geometry, optics and",
+    "depth statistics, synthetic textures). The COCO branch itself is",
+    "fixture-tested end-to-end (tests/test_coco_gen.py).",
+    "",
     "Weights: TPU-trained local stage (full reference recipe, 1000 epochs) +",
     "TPU-trained global stage (time-boxed compressed-schedule recipe — see",
     f"{os.path.relpath(LOGS)}/exp_global_stage_training.txt for the exact flags) +",
@@ -114,6 +122,45 @@ if any_empty:
         "time budget cut at epoch 22/28.",
         "",
     ]
+
+lines += [
+    "## Performance notes (TPU v5e, single chip)",
+    "",
+    "- **Timed-region throughput**: see the committed bench artifact "
+    "(BENCH_r*.json / runs/r*/logs/bench.json) — single-pair latency, "
+    "batch sweep, Pallas on/off delta, per-stage weight provenance.",
+    "- **Pallas wedge-colors kernel** is OFF by default: measured 81.3 ms "
+    "vs 55.8 ms for plain XLA fusion on local_tokens (round-3 toolchain, "
+    "runs/r3/profile_serving.py) — XLA's fusion of the wedge chain into the "
+    "surrounding program beats the hand kernel, which forces a "
+    "materialization boundary at its call. The kernel stays available and "
+    "equality-tested (use_pallas=True, tests/test_wedge_pallas.py); "
+    "re-measure each round, toolchain changes have flipped this before.",
+    "- **Flash attention (`--attn_impl flash`) is EXPERIMENTAL and was not "
+    "used for any committed checkpoint**: at this model's head_dim=16 "
+    "(d_model 128 / 8 heads) the Pallas flash kernel measured 2.9 s/step vs "
+    "2.4 s/step for XLA attention on the production global-train step "
+    "(round-3, v5e), and it deviates from reference numerics twice (no "
+    "attention-prob dropout; f32 operands to dodge a Mosaic bf16 tpu.matmul "
+    "bug on this toolchain). The sequence length (961-4,096 tokens) is where "
+    "flash attention usually wins; the tiny head_dim is why it does not here.",
+]
+
+bench_json = os.path.join(LOGS, "bench.json")
+if os.path.exists(bench_json):
+    try:
+        import json
+
+        b = json.loads(open(bench_json).read().strip().splitlines()[-1])
+        lines += [
+            f"- **Committed bench** ({os.path.relpath(bench_json)}): "
+            f"{b.get('value'):.2f} {b.get('unit', '')} on "
+            f"platform={b.get('platform', '?')}, "
+            f"vs_baseline={b.get('vs_baseline')}.",
+        ]
+    except Exception as exc:  # malformed bench must not kill the metrics table
+        print(f"bench.json unreadable, skipping summary: {exc}", file=sys.stderr)
+lines.append("")
 
 open(OUT, "w").write("\n".join(lines))
 print(f"wrote {OUT} with {n_rows} filled rows")
