@@ -35,13 +35,15 @@ TRAIN_BUDGET=${TRAIN_BUDGET:-21600}
 W_BUDGET=${W_BUDGET:-5400}
 DATA_TV=runs/r2/data/data_train_val
 DATA_TEST=runs/r2/data/data_test
-# prefer the 60-pair big set if its overnight CPU generation completed
-# (DONE marker guards against reading a half-written set)
-if [ -f runs/r3/data/data_test_big_v2/DONE ]; then
-  DATA_BIG=runs/r3/data/data_test_big_v2
-else
-  DATA_BIG=runs/r3/data/data_test_big
-fi
+# the 60-pair big set regenerates on CPU in parallel with training (the env
+# reset wiped all datasets); resolve the path at eval time, not here
+resolve_data_big() {
+  if [ -f runs/r3/data/data_test_big_v2/DONE ]; then
+    echo runs/r3/data/data_test_big_v2
+  else
+    echo runs/r3/data/data_test_big
+  fi
+}
 
 # --- preflight: the TPU tunnel relay (127.0.0.1:8082) must be alive --------
 # When the relay daemon dies (observed at the end of round 3), EVERY process
@@ -171,8 +173,14 @@ for MODE in none pp; do
     --log_path "$LOGS/eval_$MODE" --vis_max 10 $DARG
   stamp "eval $MODE rc=$?"
 done
+# wait up to 45 min for the background big-set generation to finish
+WAITED=0
+while [ ! -f runs/r3/data/data_test_big_v2/DONE ] && [ "$WAITED" -lt 2700 ]; do
+  sleep 60; WAITED=$(( WAITED + 60 ))
+done
+DATA_BIG=$(resolve_data_big)
 if [ -f "$DATA_BIG/images_ny.npy" ]; then
-  stamp "eval big"
+  stamp "eval big ($DATA_BIG)"
   run_eval_guarded "$LOGS/eval_big.txt" timeout 2400 python -u blurry_edges_test_big.py \
     --data_path "$DATA_BIG" --model_path "$W" \
     --log_path "$LOGS/eval_big" --vis_max 5
