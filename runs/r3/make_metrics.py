@@ -30,14 +30,17 @@ def parse(path):
     excluded = (int(e.group(1)), int(e.group(2))) if e else (0, 0)
     all_empty = e is not None and e.group(1) == e.group(2)
     vals = [float(x) for x in m.groups()]
-    return vals + [float(t.group(1)) if t else float("nan")], all_empty, excluded
+    n_pairs = len(re.findall(r"Image pair #\d+", text))
+    return (vals + [float(t.group(1)) if t else float("nan")], all_empty,
+            excluded, n_pairs)
 
 
+# pair counts are inferred from each log (the big set grew 20 -> 60 pairs)
 MODES = [
-    ("none (threshold 0.05)", "eval_none.txt", "200 pairs, 147x147"),
-    ("w (wedge assignment)", "eval_w.txt", "200 pairs, 147x147"),
-    ("pp (U-Net densifier)", "eval_pp.txt", "200 pairs, 147x147"),
-    ("big (587x587 block-tiled)", "eval_big.txt", "20 pairs, 587x587"),
+    ("none (threshold 0.05)", "eval_none.txt", "147x147"),
+    ("w (wedge assignment)", "eval_w.txt", "147x147"),
+    ("pp (U-Net densifier)", "eval_pp.txt", "147x147"),
+    ("big (587x587 block-tiled)", "eval_big.txt", "587x587"),
 ]
 
 lines = [
@@ -85,7 +88,8 @@ for name, fname, dataset in MODES:
     if parsed is None:
         lines.append(f"| {name} | {dataset} | — | — | — | — | — | — |")
         continue
-    vals, all_empty, excluded = parsed
+    vals, all_empty, excluded, n_pairs = parsed
+    dataset = f"{n_pairs} pairs, {dataset}"
     d1, d2, d3, rmse, absrel, t = vals
     if all_empty:
         lines.append(f"| {name} | {dataset} | n/a* | n/a* | n/a* | n/a* | "
@@ -118,8 +122,8 @@ if any_empty:
         "~110 overlapping patches covering a boundary pixel agree on it, "
         "where the 0.05 threshold needs ~six; per-patch wedge geometry is "
         "already usable (the 'w' row), the missing piece is cross-patch "
-        "boundary agreement, trained late in the gamma ramp that round 3's "
-        "time budget cut at epoch 22/28.",
+        "boundary agreement, trained late in the gamma ramp under the "
+        "compressed time-boxed schedule.",
         "",
     ]
 
