@@ -150,6 +150,12 @@ lines += [
     "flash attention usually wins; the tiny head_dim is why it does not here.",
 ]
 
+mfu_txt = os.path.join(LOGS, "mfu.txt")
+if os.path.exists(mfu_txt):
+    note = open(mfu_txt).read().strip()
+    if note:
+        lines.append(f"- {note}")
+
 bench_json = os.path.join(LOGS, "bench.json")
 if os.path.exists(bench_json):
     try:

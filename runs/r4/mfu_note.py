@@ -72,3 +72,16 @@ print(f"MFU vs v5e 197 TFLOP/s bf16 peak: {achieved/V5E_PEAK_BF16*100:.2f}%")
 print("note: serving math is f32; the wedge/fold stages are "
       "bandwidth/transcendental-bound (erf), so MXU-peak MFU understates "
       "hardware efficiency for this program.")
+
+# one-line form for METRICS.md (picked up by runs/r3/make_metrics.py)
+note = (
+    f"**Compute utilization (serving path)**: {tflops:.3f} TFLOP/pair "
+    f"(XLA cost_analysis on the exact timed-region program) at "
+    f"{s_per_pair*1e3:.1f} ms/pair measured -> {achieved/1e12:.2f} TFLOP/s "
+    f"achieved = {achieved/V5E_PEAK_BF16*100:.2f}% of the v5e 197 TFLOP/s "
+    f"bf16 MXU peak. The serving math is f32 and the wedge/fold stages are "
+    f"HBM-bandwidth/transcendental-bound (erf), so MXU-peak MFU understates "
+    f"hardware efficiency for this program; the FLOP count itself is tiny — "
+    f"latency, not FLOPs, is the serving metric (see bench artifact).")
+with open("runs/r4/logs/mfu.txt", "w") as f:
+    f.write(note + "\n")
