@@ -112,18 +112,19 @@ lines += [
 ]
 if any_empty:
     lines += [
-        "\\* every test image had zero pixels above the mode's boundary-"
-        "confidence threshold (0.05) at the current global-stage training "
-        "level, so there are no valid predictions to score — reported as n/a "
-        "rather than the misleading 0.000 the empty average would print. "
-        "The 'w'/'pp' modes densify past the threshold and do score. "
-        "Diagnosis (round-3 CPU probe with trained weights): the folded "
-        "boundary confidence tops out at ~0.018 = 2/110 — about two of the "
-        "~110 overlapping patches covering a boundary pixel agree on it, "
-        "where the 0.05 threshold needs ~six; per-patch wedge geometry is "
-        "already usable (the 'w' row), the missing piece is cross-patch "
-        "boundary agreement, trained late in the gamma ramp under the "
-        "compressed time-boxed schedule.",
+        "\\* an image is 'empty' when it has zero pixels above the mode's "
+        "boundary-confidence threshold (0.05, reference "
+        "blurry_edges_test.py:144) — there is nothing to score, so it is "
+        "excluded from that row's averages and the row states its scored/"
+        "total basis; a row where EVERY image is empty is reported n/a "
+        "rather than the misleading 0.000 an empty average would print. "
+        "Confidence is the folded cross-patch boundary agreement "
+        "(utils/postprocessing_loss.py:166-173): ~0.05 means ~6 of the ~110 "
+        "overlapping patches covering a pixel agree on a boundary there. "
+        "Round 3 (gamma ramp cut at epoch 22/28) scored 0/200 'none' images; "
+        "finishing the ramp plus post-ramp convergence this round recovered "
+        "all but the residual low-texture scenes. The 'w'/'pp' modes densify "
+        "past the threshold and score every image.",
         "",
     ]
 
