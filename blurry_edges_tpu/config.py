@@ -165,12 +165,12 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--crop', type=int, default=10, help='center crop')
         parser.add_argument('--rho_prime', type=float, default=10.39, help='equivalent optical power for refocusing')
         parser.add_argument('--densify', type=str, default=None, help='densification method, set None to disable', choices=[None, 'pp', 'w'])
-        parser.add_argument('--serve_dtype', type=str, default='float32', choices=['float32', 'bfloat16'], help='model compute dtype for serving (params stay float32; bfloat16 roughly doubles MXU throughput - check METRICS.md for the accuracy delta before relying on it)')
+        parser.add_argument('--serve_dtype', type=str, default='float32', choices=['float32', 'bfloat16'], help='model compute dtype for serving (params stay float32). bfloat16 measured 1.21x faster single-pair on v5e but costs accuracy (RMSE 11.98 vs 10.18 cm) and confidence coverage (134/200 vs 178/200 images clear the 0.05 threshold) - METRICS.md')
         parser.add_argument('--vis_max', type=int, default=0, help='write the 10-panel visualization for only the first N pairs (0 = all, reference behavior)')
         parser.add_argument('--dp_devices', type=int, default=0, help='data-parallel devices (0/1 = single device); big path: shards the block grid over the mesh; 147x147 path: evaluates images in sharded groups of this size (s/pair = group time / devices)')
         if big:
             parser.add_argument('--n_margin_patch', type=int, default=10, help='number of margin patches that will be removed for global maps')
-            parser.add_argument('--block_chunk', type=int, default=4, help='blocks batched per lax.map step on the big path (1 = sequential; higher trades HBM for cross-block MXU batching)')
+            parser.add_argument('--block_chunk', type=int, default=6, help='blocks batched per lax.map step on the big path (1 = sequential; higher trades HBM for cross-block MXU batching; round-4 sweep on v5e: 1->2.69 s/pair, 4->2.22, 6->2.09 best, 12 OOMs 16 GB HBM - see METRICS.md)')
             parser.add_argument('--data_path', type=str, default='./data/data_test_big', help='path of dataset')
         else:
             parser.add_argument('--data_path', type=str, default='./data/data_test', help='path of dataset')

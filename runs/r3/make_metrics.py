@@ -157,6 +157,12 @@ if os.path.exists(mfu_txt):
     if note:
         lines.append(f"- {note}")
 
+perf_notes = os.path.join(LOGS, "perf_notes.txt")
+if os.path.exists(perf_notes):
+    for note in open(perf_notes).read().strip().split("\n"):
+        if note.strip():
+            lines.append(f"- {note.strip()}")
+
 bench_json = os.path.join(LOGS, "bench.json")
 if os.path.exists(bench_json):
     try:
