@@ -14,6 +14,13 @@ Two ways to build (sparse depth -> dense depth) training pairs:
    dilated-boundary band, plus dropout and noise), so the densifier can train
    before/without the other stages.
 
+Either pipeline-sourced set can additionally be MIXED with realistic-generator
+scenes (``realistic_dirs``): the shapes set has piecewise-constant depth, while
+the eval protocol's scenes (reference test_data_generator.py:123-133) are two
+planar depth ramps - a UNet trained on constants alone systematically flattens
+ramps. Mixing freshly-seeded realistic scenes (same generator as the test set,
+different PRNG stream) closes that domain gap without touching test data.
+
 Training: AdamW, global-norm clip 1.0, masked-MSE on valid pixels, plateau LR,
 best-val checkpoint to pretrained-weights naming parity
 (best_run_exp_depth_completion_pp).
@@ -95,13 +102,19 @@ def init_state(model: UNet, key, lr: float, H: int, W: int) -> Tuple[TrainState,
 
 def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
                          lr: float = 1e-4, source: str = "simulated",
-                         modules=None, max_samples=None) -> None:
+                         modules=None, max_samples=None,
+                         realistic_dirs=None) -> None:
     """Train the densifier on the basic-shape train/val set.
 
     ``max_samples``: optional (n_train, n_val) cap. The pipeline-sourced
     sparse maps cost one full three-stage inference per image; capping keeps
     sparse-map generation bounded (the UNet regresses a dense map from a
     147x147 sparse observation - a few thousand samples saturate it).
+
+    ``realistic_dirs``: optional (train_dir, val_dir) of realistic-generator
+    sets (images_ny/alphas/depth_maps schema). Requires ``modules`` (the
+    sparse inputs come from the trained pipeline); the realistic pairs are
+    concatenated onto whichever shapes-sourced set ``source`` selected.
     """
     from tqdm import tqdm
 
@@ -125,6 +138,16 @@ def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
                        for p in ("train", "val")}
     else:
         sparse_maps = None
+
+    if realistic_dirs is not None:
+        assert source == "pipeline" and modules is not None, \
+            "realistic_dirs needs the trained pipeline (source='pipeline')"
+        for p, d in zip(("train", "val"), realistic_dirs):
+            r_sparse, r_depth = _realistic_sparse_pairs(args, d, modules)
+            print(f"densify: +{len(r_depth)} realistic {p} pairs from {d}",
+                  flush=True)
+            sparse_maps[p] = np.concatenate([sparse_maps[p], r_sparse])
+            depths[p] = np.concatenate([depths[p], r_depth])
 
     model = UNet()
     state, tx = init_state(model, key, lr, H, W)
@@ -189,13 +212,39 @@ def _pipeline_sparse_depths(args, part: str, modules, n=None,
     On a compile/runtime failure the first time a chunk size is executed, the
     size is halved and generation restarts (at most a couple of recompiles).
     """
-    from ..config import cam_from_args, grid_from_args, patch_from_args
     from ..data.datasets import ShapeDataset
-    from ..eval.pipeline import make_batched_depth_estimator
 
     assert modules is not None, "source='pipeline' needs trained InferenceModules"
     ds = ShapeDataset(args.data_path, train=part == "train", mode="global_pre")
     total = len(ds) if n is None else min(n, len(ds))
+    return _sparse_from_batches(args, lambda idx: ds.batch(idx)["img_ny"],
+                                total, modules, chunk)
+
+
+def _realistic_sparse_pairs(args, data_dir: str, modules,
+                            chunk: int = 8):
+    """(sparse inputs, dense targets) from a realistic-generator set: inputs
+    are the trained pipeline's confidence-thresholded folded depths over the
+    set's noisy image pairs, targets the generator's dense planar-ramp
+    depth_maps (reference test_data_generator.py:123-133 statistics)."""
+    from ..data.datasets import TestDataset
+
+    ds = TestDataset(data_dir)
+    depths = ds.depth_map.astype(np.float32)
+    a = ds.alpha.reshape((-1,) + (1,) * (ds.img_ny.ndim - 1))
+    imgs = (ds.img_ny / a).astype(np.float32)
+    sparse = _sparse_from_batches(args, lambda idx: imgs[idx], len(ds),
+                                  modules, chunk)
+    return sparse, depths
+
+
+def _sparse_from_batches(args, get_batch, total: int, modules,
+                         chunk: int = 8) -> np.ndarray:
+    """Chunked batched-estimator driver shared by the shapes and realistic
+    sparse-map sources; see _pipeline_sparse_depths for the retry rationale."""
+    from ..config import cam_from_args, grid_from_args, patch_from_args
+    from ..eval import pipeline as _pipeline
+
     if total == 0:
         grid = grid_from_args(args)
         return np.zeros((0, grid.H, grid.W), np.float32)
@@ -209,14 +258,14 @@ def _pipeline_sparse_depths(args, part: str, modules, n=None,
                                       "out of memory", "OOM", "Allocator"))
 
     while True:
-        estimate = make_batched_depth_estimator(modules, patch_from_args(args),
-                                                grid_from_args(args),
-                                                cam_from_args(args), densify=None)
+        estimate = _pipeline.make_batched_depth_estimator(
+            modules, patch_from_args(args), grid_from_args(args),
+            cam_from_args(args), densify=None)
         out = []
         try:
             for s in range(0, total, chunk):
                 idx = np.arange(s, min(s + chunk, total))
-                imgs = ds.batch(idx)["img_ny"]
+                imgs = get_batch(idx)
                 # keep the jitted program's batch shape static: pad the tail
                 pad = chunk - len(idx)
                 if pad:

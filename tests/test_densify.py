@@ -105,3 +105,51 @@ def test_pipeline_sparse_depths_chunking(monkeypatch):
     assert out.shape == (n_total, H, W)
     # ordering preserved, tail padding trimmed (5 = 2 + 2 + (1 + pad 1))
     np.testing.assert_allclose(out[:, 0, 0], np.arange(n_total, dtype=np.float32))
+
+
+def test_realistic_sparse_pairs(monkeypatch, tmp_path):
+    """The realistic-source branch: images normalized by alpha feed the
+    batched estimator; targets are the set's dense depth_maps; sample order
+    and shapes survive the chunked drive."""
+    import types
+
+    from blurry_edges_tpu.eval import pipeline as pipe_mod
+
+    H = W = 147
+    n = 5
+    rng = np.random.default_rng(0)
+    img_ny = np.broadcast_to(
+        np.arange(n, dtype=np.float32)[:, None, None, None, None],
+        (n, 2, H, W, 3)).copy()
+    alphas = np.full((n,), 2.0, np.float32)
+    depth_maps = rng.uniform(0.75, 1.18, size=(n, H, W)).astype(np.float32)
+    np.save(tmp_path / "images_ny.npy", img_ny)
+    np.save(tmp_path / "alphas.npy", alphas)
+    np.save(tmp_path / "depth_maps.npy", depth_maps)
+
+    seen = []
+
+    def fake_make(mods, patch_cfg, grid, cam, densify=None, **kw):
+        def estimate(imgs):
+            seen.append(np.asarray(imgs))
+            # echo the (alpha-normalized) sample id into the depth output
+            return {"depth_final": np.broadcast_to(
+                np.asarray(imgs)[:, 0, 0, 0, 0][:, None, None, None],
+                (imgs.shape[0], 1, H, W))}
+
+        return estimate
+
+    monkeypatch.setattr(pipe_mod, "make_batched_depth_estimator", fake_make)
+    args = types.SimpleNamespace(data_path="/nonexistent", R=21, stride=2,
+                                 img_size=[H, W], w=1.0, alpha_lambda=5e-3,
+                                 mag=4.0,
+                                 cam_params={"s": 0.1104, "rho_1": 10.0,
+                                             "rho_2": 10.2, "sigma_cam": 0.003,
+                                             "pixel_pitch": 5.86e-6})
+    sparse, target = densify._realistic_sparse_pairs(
+        args, str(tmp_path), modules=object(), chunk=4)
+    assert sparse.shape == (n, H, W) and target.shape == (n, H, W)
+    np.testing.assert_allclose(target, depth_maps)
+    # alpha normalization happened (ids halved), order preserved
+    np.testing.assert_allclose(sparse[:, 0, 0],
+                               np.arange(n, dtype=np.float32) / 2.0)
