@@ -53,7 +53,7 @@ if os.path.isdir(f"{W}/best_run_exp_global_stage"):
         ).generate_synthetic_data()
 print(f"densifier source = {source} realistic_dirs = {realistic_dirs}", flush=True)
 try:
-    run_densify_training(args, epochs=30, batch_size=8, source=source,
+    run_densify_training(args, epochs=60, batch_size=8, source=source,
                          modules=modules, max_samples=(1500, 300),
                          realistic_dirs=realistic_dirs)
 except Exception as e:
@@ -64,7 +64,7 @@ except Exception as e:
     print(f"pipeline-sourced densify failed ({type(e).__name__}: {e}); "
           f"falling back to simulated", flush=True)
     source = "simulated"
-    run_densify_training(args, epochs=30, batch_size=8, source="simulated",
+    run_densify_training(args, epochs=60, batch_size=8, source="simulated",
                          modules=None, max_samples=(1500, 300))
 
 # record which mode produced the checkpoint so the post-train chain can tell a
