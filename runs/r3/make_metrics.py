@@ -62,7 +62,13 @@ lines = [
     "Weights: TPU-trained local stage (full reference recipe, 1000 epochs) +",
     "TPU-trained global stage (time-boxed compressed-schedule recipe — see",
     f"{os.path.relpath(LOGS)}/exp_global_stage_training.txt for the exact flags) +",
-    "TPU-trained U-Net densifier for 'pp'.",
+    "TPU-trained U-Net densifier for 'pp'"
+    + (" (pipeline-sourced sparse maps over the shapes set MIXED with "
+       "freshly-seeded realistic ramp-depth scenes — same generator as the "
+       "test set, different PRNG stream; runs/r3/train_densify.py)."
+       if os.path.isdir(os.path.join(os.path.dirname(LOGS),
+                                     "data/data_densify_train"))
+       else "."),
     ("The 'w' row was measured with the shared global checkpoint (resolver "
      "fallback): a fine-tuned w-variant (3 epochs, hard wedge-side depth "
      "masks, val 0.00844 -> 0.00792) is committed as "
