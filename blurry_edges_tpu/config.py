@@ -165,7 +165,7 @@ def get_args(mode: str, big: bool = False, argv: Optional[list] = None) -> argpa
         parser.add_argument('--crop', type=int, default=10, help='center crop')
         parser.add_argument('--rho_prime', type=float, default=10.39, help='equivalent optical power for refocusing')
         parser.add_argument('--densify', type=str, default=None, help='densification method, set None to disable', choices=[None, 'pp', 'w'])
-        parser.add_argument('--serve_dtype', type=str, default='float32', choices=['float32', 'bfloat16'], help='model compute dtype for serving (params stay float32). bfloat16 measured 1.21x faster single-pair on v5e but costs accuracy (RMSE 11.98 vs 10.18 cm) and confidence coverage (134/200 vs 178/200 images clear the 0.05 threshold) - METRICS.md')
+        parser.add_argument('--serve_dtype', type=str, default='float32', choices=['float32', 'bfloat16'], help='model compute dtype for serving (params stay float32). bfloat16 runs the CNN/transformer forwards on the MXU in bf16; the analytic wedge/DfD/fold chain and the confidence threshold always stay float32 (bf16 there cost threshold coverage, METRICS.md bf16 note)')
         parser.add_argument('--vis_max', type=int, default=0, help='write the 10-panel visualization for only the first N pairs (0 = all, reference behavior)')
         parser.add_argument('--dp_devices', type=int, default=0, help='data-parallel devices (0/1 = single device); big path: shards the block grid over the mesh; 147x147 path: evaluates images in sharded groups of this size (s/pair = group time / devices)')
         if big:

@@ -120,7 +120,12 @@ def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
         tokens, _ = local_tokens(mods.local_model, mods.local_vars, img_ny,
                                  patch_cfg, grid, use_pallas)     # (2, L, 19)
         src = tokens.transpose(1, 0, 2).reshape(1, L, 38)
-        est = mods.global_model.apply(mods.global_vars, src, train=False)
+        # Reduced-precision serving (--serve_dtype bfloat16) is confined to the
+        # two NN forwards (the MXU FLOPs); the analytic wedge/DfD/fold chain
+        # and the 0.05 confidence threshold stay float32 — bf16's ~3 decimal
+        # digits cost threshold coverage there (METRICS.md bf16 note).
+        est = mods.global_model.apply(mods.global_vars, src,
+                                      train=False).astype(jnp.float32)
         den = denormalize_global_eval(est).reshape(1, Hp, Wp, 12)
         xy_angles = den[..., :8]
         etas = params2etas(den[..., 8:])                          # (1,Hp,Wp,4)
@@ -134,7 +139,7 @@ def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
             dense = mods.unet_model.apply(mods.unet_vars,
                                           out["global_depth"][..., None],
                                           train=False)[..., 0]
-            out["depth_final"] = dense
+            out["depth_final"] = dense.astype(jnp.float32)
         else:
             out["depth_final"] = jnp.where(out["confidence"] > depth_thres,
                                            out["global_depth"], 0.0)

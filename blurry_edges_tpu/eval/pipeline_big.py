@@ -109,7 +109,10 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
         tokens, _ = local_tokens(mods.local_model, mods.local_vars, block_img,
                                  patch_cfg, block_grid)
         src = tokens.transpose(1, 0, 2).reshape(1, L, 38)
-        est = mods.global_model.apply(mods.global_vars, src, train=False)
+        # bf16 serving stops at the NN boundary; analytics stay f32 (see
+        # eval/pipeline.py same cast).
+        est = mods.global_model.apply(mods.global_vars, src,
+                                      train=False).astype(jnp.float32)
         den = denormalize_global_eval(est).reshape(1, Hp, Wp, 12)
         img_patches = unfold(block_img, R, stride)[None]
         rend = render_full(den[..., :8], params2etas(den[..., 8:]), img_patches,

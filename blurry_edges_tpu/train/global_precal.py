@@ -102,7 +102,10 @@ def local_tokens(model: LocalStage, variables, img_pair, patch_cfg: PatchConfig,
     Hp, Wp, L = grid.H_patches, grid.W_patches, grid.num_tokens
     patches = unfold(img_pair, grid.R, grid.stride)          # (2, Hp, Wp, R, R, 3)
     flat = patches.reshape(2 * L, grid.R, grid.R, 3)
-    est = model.apply(variables, flat, train=False)          # (2L, 10)
+    # The CNN may run reduced precision (--serve_dtype bfloat16); the analytic
+    # chain downstream (wedge rasterize -> 3x3 Cayley-Hamilton ridge solve) is
+    # precision-sensitive, so its inputs are always promoted back to float32.
+    est = model.apply(variables, flat, train=False).astype(jnp.float32)  # (2L, 10)
     params = wrap_local_params(est)
     colors = solve_patch_colors(params, flat, patch_cfg, use_pallas)  # (2L, 3, 3)
     tokens = normalize_token_features(params, colors)        # (2L, 19)
