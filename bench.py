@@ -169,12 +169,15 @@ def bench_ours():
     pps = n_timed / dt
     plat = jax.devices()[0].platform.upper()
     log(f"ours ({plat}, jitted single-pair): {pps:.3f} pairs/s ({dt / n_timed * 1e3:.1f} ms/pair)")
+    # machine-readable per-variant numbers for the committed JSON artifact
+    # (the headline "value" stays the best f32 default-config number)
+    variants = {"single_pair_f32": round(pps, 3)}
 
     if _FORCE_CPU:
         # the Mosaic kernel doesn't lower on CPU and the batched-serving
         # sweep is pointless on one host core; report the single-pair number
         log("CPU fallback: skipping Pallas on/off delta and batched sweep")
-        return pps, provenance
+        return pps, provenance, variants
 
     # Pallas colors-kernel on/off delta on the single-pair program (stderr
     # visibility for the committed artifact; round-2 verdict item #4).
@@ -189,6 +192,7 @@ def bench_ours():
     don = time.time() - t0
     log(f"ours (TPU, pallas colors ON):  {N_TIMED / don:.3f} pairs/s "
         f"({don / N_TIMED * 1e3:.1f} ms/pair)")
+    variants["single_pair_f32_pallas_colors"] = round(N_TIMED / don, 3)
 
     # throughput mode: batched pairs in one program (serving configuration);
     # sweep batch to find the amortization sweet spot on this chip. x16's
@@ -209,6 +213,7 @@ def bench_ours():
             log(f"batched x{B} failed ({type(e).__name__}); keeping smaller batch")
             break
         log(f"ours (TPU, batched x{B}):       {B / bt:.3f} pairs/s ({bt / B * 1e3:.1f} ms/pair)")
+        variants[f"batched_x{B}_f32"] = round(B / bt, 3)
         best = max(best, B / bt)
 
     # bfloat16 serving variant (--serve_dtype bfloat16): bf16 is confined to
@@ -225,6 +230,7 @@ def bench_ours():
     d16 = time.time() - t0
     log(f"ours (TPU, bf16 single-pair): {N_TIMED / d16:.3f} pairs/s "
         f"({d16 / N_TIMED * 1e3:.1f} ms/pair)")
+    variants["single_pair_bf16"] = round(N_TIMED / d16, 3)
     for B in (12, 16):
         try:
             fb = make_batched_depth_estimator(mods_bf16, PatchConfig(), grid,
@@ -239,7 +245,8 @@ def bench_ours():
             log(f"bf16 batched x{B} failed ({type(e).__name__}); stopping sweep")
             break
         log(f"ours (TPU, bf16 batched x{B}):  {B / bt:.3f} pairs/s ({bt / B * 1e3:.1f} ms/pair)")
-    return best, provenance
+        variants[f"batched_x{B}_bf16"] = round(B / bt, 3)
+    return best, provenance, variants
 
 
 def bench_reference_cpu():
@@ -321,7 +328,7 @@ def bench_reference_cpu():
 def main():
     import jax
 
-    ours, provenance = bench_ours()
+    ours, provenance, variants = bench_ours()
     platform = jax.devices()[0].platform
     try:
         ref = bench_reference_cpu()
@@ -336,6 +343,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "weights": provenance,
         "platform": platform,
+        "variants": variants,
     }), flush=True)
 
 
