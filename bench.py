@@ -216,36 +216,70 @@ def bench_ours():
         variants[f"batched_x{B}_f32"] = round(B / bt, 3)
         best = max(best, B / bt)
 
+    # Trained-vs-random-init A/B on the identical program (explains the
+    # round-over-round drift: rounds 1-2 benched random init, later rounds
+    # trained weights - the XLA program is the same, but weight VALUES change
+    # constant folding/layout decisions and activation value distributions).
+    if provenance.get("global") == "trained":
+        try:
+            saved = os.environ.get("BE_WEIGHTS")
+            os.environ["BE_WEIGHTS"] = "/nonexistent_random_init"
+            mods_rnd, _ = stage_modules(grid)
+            os.environ.pop("BE_WEIGHTS", None)
+            if saved is not None:
+                os.environ["BE_WEIGHTS"] = saved
+            frnd = make_depth_estimator(mods_rnd, PatchConfig(), grid,
+                                        CamConfig(), densify=None)
+            jax.block_until_ready(frnd(imgs[0]))
+            t0 = time.time()
+            for i in range(N_TIMED):
+                jax.block_until_ready(frnd(imgs[i]))
+            drnd = time.time() - t0
+            log(f"ours (TPU, random-init single-pair): {N_TIMED / drnd:.3f} "
+                f"pairs/s ({drnd / N_TIMED * 1e3:.1f} ms/pair) — same program "
+                f"as the trained-weights number above; any gap is "
+                f"weight-value-dependent (constant folding / value "
+                f"distributions), not a code regression")
+            variants["single_pair_f32_random_init"] = round(N_TIMED / drnd, 3)
+        except Exception as e:
+            log(f"random-init A/B failed ({type(e).__name__}: {e}); skipping")
+
     # bfloat16 serving variant (--serve_dtype bfloat16): bf16 is confined to
     # the NN forwards, analytics stay f32. Detail-only — the headline JSON
     # stays the f32 default config. bf16 halves activation HBM, so the
-    # batched sweep probes past the f32 ceiling (x12).
-    mods_bf16, _ = stage_modules(grid, dtype=jnp.bfloat16)
-    fb16 = make_depth_estimator(mods_bf16, PatchConfig(), grid, CamConfig(),
-                                densify=None)
-    jax.block_until_ready(fb16(imgs[0]))
-    t0 = time.time()
-    for i in range(N_TIMED):
-        jax.block_until_ready(fb16(imgs[i]))
-    d16 = time.time() - t0
-    log(f"ours (TPU, bf16 single-pair): {N_TIMED / d16:.3f} pairs/s "
-        f"({d16 / N_TIMED * 1e3:.1f} ms/pair)")
-    variants["single_pair_bf16"] = round(N_TIMED / d16, 3)
-    for B in (12, 16):
-        try:
-            fb = make_batched_depth_estimator(mods_bf16, PatchConfig(), grid,
-                                              CamConfig())
-            batch = jax.random.uniform(key, (B, 2, grid.H, grid.W, 3))
-            jax.block_until_ready(fb(batch))
-            t0 = time.time()
-            for _ in range(5):
+    # batched sweep probes past the f32 ceiling (x12). The WHOLE block is
+    # guarded: a bf16 lowering/HBM failure must not abort the already-measured
+    # f32 results (round-4 advisor finding).
+    try:
+        mods_bf16, _ = stage_modules(grid, dtype=jnp.bfloat16)
+        fb16 = make_depth_estimator(mods_bf16, PatchConfig(), grid, CamConfig(),
+                                    densify=None)
+        jax.block_until_ready(fb16(imgs[0]))
+        t0 = time.time()
+        for i in range(N_TIMED):
+            jax.block_until_ready(fb16(imgs[i]))
+        d16 = time.time() - t0
+        log(f"ours (TPU, bf16 single-pair): {N_TIMED / d16:.3f} pairs/s "
+            f"({d16 / N_TIMED * 1e3:.1f} ms/pair)")
+        variants["single_pair_bf16"] = round(N_TIMED / d16, 3)
+        for B in (12, 16):
+            try:
+                fb = make_batched_depth_estimator(mods_bf16, PatchConfig(), grid,
+                                                  CamConfig())
+                batch = jax.random.uniform(key, (B, 2, grid.H, grid.W, 3))
                 jax.block_until_ready(fb(batch))
-            bt = (time.time() - t0) / 5
-        except Exception as e:
-            log(f"bf16 batched x{B} failed ({type(e).__name__}); stopping sweep")
-            break
-        log(f"ours (TPU, bf16 batched x{B}):  {B / bt:.3f} pairs/s ({bt / B * 1e3:.1f} ms/pair)")
-        variants[f"batched_x{B}_bf16"] = round(B / bt, 3)
+                t0 = time.time()
+                for _ in range(5):
+                    jax.block_until_ready(fb(batch))
+                bt = (time.time() - t0) / 5
+            except Exception as e:
+                log(f"bf16 batched x{B} failed ({type(e).__name__}); stopping sweep")
+                break
+            log(f"ours (TPU, bf16 batched x{B}):  {B / bt:.3f} pairs/s ({bt / B * 1e3:.1f} ms/pair)")
+            variants[f"batched_x{B}_bf16"] = round(B / bt, 3)
+    except Exception as e:
+        log(f"bf16 variant block failed ({type(e).__name__}: {e}); "
+            f"f32 results stand")
     return best, provenance, variants
 
 

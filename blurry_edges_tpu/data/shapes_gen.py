@@ -54,6 +54,12 @@ class ShapeGenConfig:
     sigma_read: float = 2.0
     mag: float = 4.0
     cam: CamConfig = CamConfig()
+    # Cap on boundary-distance-transform iterations (None = H + W, the
+    # saturating default for 147x147 scenes). Large-scene generation (the
+    # block-view fine-tune set, 587x587) caps this at 294 so the distance
+    # field saturates with the same semantics the 147x147 training scenes
+    # have, instead of running a 1174-iteration dilation loop.
+    dist_max_iters: "int | None" = None
 
     @property
     def max_shapes(self) -> int:
@@ -201,7 +207,8 @@ def synthesize_image(key, cfg: ShapeGenConfig):
         composite, state0, (fills, rings, blurred, fill_dil, ring_dil, z, colors))
 
     # 4) distance transform + rounding + Sobel maps (reference :98-115)
-    b_dist = distance_transform_l1(b_loc > 0, max_iters=cfg.H + cfg.W)
+    b_dist = distance_transform_l1(
+        b_loc > 0, max_iters=cfg.dist_max_iters or (cfg.H + cfg.W))
     imgs = jnp.round(imgs)
     padded = jnp.pad(imgs, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="symmetric")
     deri = image_derivative(padded) / 255.0  # same-size as scipy mode='reflect'

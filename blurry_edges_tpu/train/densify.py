@@ -68,14 +68,52 @@ def masked_mse(pred, target):
     return jnp.mean((pred - target) ** 2)
 
 
-def make_steps(model: UNet, tx):
+def grad_matching(pred, target):
+    """First-difference gradient-matching penalty. On the eval protocol's
+    planar-ramp scenes (reference test_data_generator.py:123-133) a UNet
+    trained on plain MSE systematically flattens the ramp away from the
+    sparse boundary band (its gradient decays to zero where there is no
+    input); matching the target's spatial gradient pushes the ramp's slope
+    through the extrapolated regions."""
+    dpy = pred[:, 1:, :] - pred[:, :-1, :]
+    dty = target[:, 1:, :] - target[:, :-1, :]
+    dpx = pred[:, :, 1:] - pred[:, :, :-1]
+    dtx = target[:, :, 1:] - target[:, :, :-1]
+    return jnp.mean((dpy - dty) ** 2) + jnp.mean((dpx - dtx) ** 2)
+
+
+def _rand_flips(key, sparse, target):
+    """Per-sample independent horizontal/vertical flips (geometry-only
+    augmentation: the task is equivariant to image flips)."""
+    kf = jax.random.bernoulli(key, 0.5, (sparse.shape[0], 2))
+
+    def flip_one(fl, sp, tg):
+        sp = jnp.where(fl[0], sp[::-1, :], sp)
+        tg = jnp.where(fl[0], tg[::-1, :], tg)
+        sp = jnp.where(fl[1], sp[:, ::-1], sp)
+        tg = jnp.where(fl[1], tg[:, ::-1], tg)
+        return sp, tg
+
+    return jax.vmap(flip_one)(kf, sparse, target)
+
+
+def make_steps(model: UNet, tx, grad_loss_w: float = 0.0,
+               augment: bool = False):
     @jax.jit
-    def train_step(state: TrainState, sparse, target):
+    def train_step(state: TrainState, sparse, target, key=None):
+        if augment:
+            if key is None:
+                raise ValueError("augment=True requires a PRNG key per step")
+            sparse, target = _rand_flips(key, sparse, target)
+
         def loss_fn(params):
             pred, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 sparse[..., None], train=True, mutable=["batch_stats"])
-            return masked_mse(pred[..., 0], target), mut["batch_stats"]
+            loss = masked_mse(pred[..., 0], target)
+            if grad_loss_w:
+                loss = loss + grad_loss_w * grad_matching(pred[..., 0], target)
+            return loss, mut["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -85,6 +123,8 @@ def make_steps(model: UNet, tx):
 
     @jax.jit
     def eval_step(state: TrainState, sparse, target):
+        # validation stays plain MSE: checkpoint selection measures the same
+        # quantity whether or not auxiliary train terms are enabled
         pred = model.apply({"params": state.params, "batch_stats": state.batch_stats},
                            sparse[..., None], train=False)
         return masked_mse(pred[..., 0], target)
@@ -103,7 +143,8 @@ def init_state(model: UNet, key, lr: float, H: int, W: int) -> Tuple[TrainState,
 def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
                          lr: float = 1e-4, source: str = "simulated",
                          modules=None, max_samples=None,
-                         realistic_dirs=None) -> None:
+                         realistic_dirs=None, grad_loss_w: float = 0.0,
+                         augment: bool = False) -> None:
     """Train the densifier on the basic-shape train/val set.
 
     ``max_samples``: optional (n_train, n_val) cap. The pipeline-sourced
@@ -151,7 +192,8 @@ def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
 
     model = UNet()
     state, tx = init_state(model, key, lr, H, W)
-    train_step, eval_step = make_steps(model, tx)
+    train_step, eval_step = make_steps(model, tx, grad_loss_w=grad_loss_w,
+                                       augment=augment)
     sched = PlateauScheduler(lr=lr, factor=0.9, patience=5, min_lr=lr * 0.1)
     sparse_fn = jax.jit(jax.vmap(make_sparse_from_gt))
 
@@ -174,7 +216,8 @@ def run_densify_training(args, epochs: int = 100, batch_size: int = 8,
                 key, kb = jax.random.split(key)
                 sp, _ = sparse_fn(jax.random.split(kb, batch_size),
                                   tgt, jnp.asarray(bnds["train"][idx]))
-            state, _ = train_step(state, sp, tgt)
+            key, ks = jax.random.split(key)
+            state, _ = train_step(state, sp, tgt, ks)
 
         val, nv = 0.0, 0
         for idx in batches("val", False, 0):
