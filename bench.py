@@ -194,6 +194,24 @@ def bench_ours():
         f"({don / N_TIMED * 1e3:.1f} ms/pair)")
     variants["single_pair_f32_pallas_colors"] = round(N_TIMED / don, 3)
 
+    # round-5 wide kernel: the whole render chain (indicators -> joint color
+    # solve -> pair/sharpened/refocused renders -> boundary/depth/mask) as
+    # ONE fused VMEM pass vs XLA's fusion of the same math.
+    try:
+        fwide = make_depth_estimator(mods, PatchConfig(), grid, CamConfig(),
+                                     densify=None, use_pallas="render")
+        jax.block_until_ready(fwide(imgs[0]))
+        t0 = time.time()
+        for i in range(N_TIMED):
+            jax.block_until_ready(fwide(imgs[i]))
+        dw = time.time() - t0
+        log(f"ours (TPU, pallas render chain): {N_TIMED / dw:.3f} pairs/s "
+            f"({dw / N_TIMED * 1e3:.1f} ms/pair)")
+        variants["single_pair_f32_pallas_render"] = round(N_TIMED / dw, 3)
+    except Exception as e:
+        log(f"pallas render-chain variant failed ({type(e).__name__}: {e}); "
+            f"skipping")
+
     # throughput mode: batched pairs in one program (serving configuration);
     # sweep batch to find the amortization sweet spot on this chip. x16's
     # compile-time HBM estimate exceeds one v5e chip (17.56G > 15.75G,

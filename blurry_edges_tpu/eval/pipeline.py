@@ -73,6 +73,36 @@ def render_full(xy_angles, etas, img_patches, patch_cfg: PatchConfig,
                 depth_map=depth_map, depth_mask=depth_mask)
 
 
+def render_full_pallas(xy_angles, etas, img_patches, patch_cfg: PatchConfig,
+                       dfd: DfDSolver, rho_prime: float, hard_mask: bool):
+    """render_full via the wide fused Pallas kernel
+    (ops.wedge_pallas.wedge_render_pallas): the whole per-patch chain —
+    distance fields, indicators, joint color solve, pair/sharpened/refocused
+    renders, boundary map, DfD depth + mask — in one VMEM pass, against
+    XLA's fusion of the same math (equality-tested,
+    tests/test_wedge_pallas.py)."""
+    from ..ops.wedge_pallas import wedge_render_pallas
+
+    R = patch_cfg.R
+    B, Hp, Wp = xy_angles.shape[:3]
+    P = B * Hp * Wp
+    imgs = jnp.moveaxis(img_patches, 1, 3).reshape(P, 2, R, R, 3)
+    out = wedge_render_pallas(
+        xy_angles.reshape(P, 8), etas.reshape(P, 4), imgs, R=R,
+        w=patch_cfg.w, lambda_ridge=patch_cfg.lambda_ridge, hard=hard_mask,
+        rho_prime=rho_prime,
+        dfd_consts=(dfd.numerator, dfd.denominator_constant,
+                    dfd.denominator_factor_root, dfd.intercept, dfd.s))
+    shp = (B, Hp, Wp)
+    return dict(
+        patches=jnp.moveaxis(out["patches"].reshape(shp + (2, R, R, 3)), 3, 1),
+        patches_shpd=out["patches_shpd"].reshape(shp + (R, R, 3)),
+        patches_refoc=out["patches_refoc"].reshape(shp + (R, R, 3)),
+        local_bndry=out["local_bndry"].reshape(shp + (R, R)),
+        depth_map=out["depth_map"].reshape(shp + (R, R)),
+        depth_mask=out["depth_mask"].reshape(shp + (R, R)))
+
+
 def fold_outputs(rend, grid: GridConfig, dtype=jnp.float32):
     """Overlap-add all rendered patch grids into global maps (reference
     blurry_edges_test.py:95-100 and utils/postprocessing_loss.py:146-173)."""
@@ -110,6 +140,11 @@ def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
 
     if use_pallas is None:
         use_pallas = use_pallas_default()
+    # use_pallas values: False = plain XLA; True = fused colors kernel in the
+    # local-token stage; "render" = XLA local tokens + the WIDE fused
+    # render-chain kernel (render_full_pallas) for the global render
+    wide = use_pallas == "render"
+    tokens_pallas = use_pallas is True
     dfd = DfDSolver.from_config(cam, patch_cfg)
     Hp, Wp, L, R = grid.H_patches, grid.W_patches, grid.num_tokens, grid.R
     hard = densify == "w"
@@ -118,7 +153,7 @@ def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
     def estimate(img_ny):
         """img_ny: (2, H, W, 3), alpha-normalized."""
         tokens, _ = local_tokens(mods.local_model, mods.local_vars, img_ny,
-                                 patch_cfg, grid, use_pallas)     # (2, L, 19)
+                                 patch_cfg, grid, tokens_pallas)  # (2, L, 19)
         src = tokens.transpose(1, 0, 2).reshape(1, L, 38)
         # Reduced-precision serving (--serve_dtype bfloat16) is confined to the
         # two NN forwards (the MXU FLOPs); the analytic wedge/DfD/fold chain
@@ -131,8 +166,9 @@ def _make_estimate_fn(mods: InferenceModules, patch_cfg: PatchConfig,
         etas = params2etas(den[..., 8:])                          # (1,Hp,Wp,4)
 
         img_patches = unfold(img_ny, R, grid.stride)[None]        # (1,2,Hp,Wp,R,R,3)
-        rend = render_full(xy_angles, etas, img_patches, patch_cfg, dfd,
-                           rho_prime, hard)
+        rfull = render_full_pallas if wide else render_full
+        rend = rfull(xy_angles, etas, img_patches, patch_cfg, dfd,
+                     rho_prime, hard)
         out = fold_outputs(rend, grid, img_ny.dtype)
 
         if densify == "pp":
@@ -154,8 +190,12 @@ def make_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
                          rho_prime: float = 10.39,
                          use_pallas: Optional[bool] = None) -> Callable:
     """Build the single jitted image-pair -> maps function (the reference's
-    timed region, blurry_edges_test.py:117-145). use_pallas=None auto-enables
-    the fused wedge-colors kernel on TPU backends."""
+    timed region, blurry_edges_test.py:117-145).
+
+    use_pallas: None = the measured auto policy (global_precal.
+    use_pallas_default); True = fused wedge-colors kernel in the local-token
+    stage; "render" = the WIDE fused render-chain kernel for the global
+    render (ops.wedge_pallas.wedge_render_pallas); False = plain XLA."""
     return jax.jit(_make_estimate_fn(mods, patch_cfg, grid, cam, densify,
                                      rho_prime, use_pallas))
 

@@ -26,7 +26,8 @@ from ..config import CamConfig, GridConfig, PatchConfig
 from ..ops import params2etas, unfold
 from ..ops.dfd import DfDSolver
 from ..ops.params import denormalize_global_eval
-from .pipeline import InferenceModules, fold_outputs, render_full
+from .pipeline import (InferenceModules, fold_outputs, render_full,
+                       render_full_pallas)
 
 
 def block_geometry(img_size, big_img_size, R: int, stride: int, n_margin: int):
@@ -65,7 +66,8 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
                              block_grid: GridConfig, big_grid: GridConfig,
                              cam: CamConfig, n_margin: int,
                              rho_prime: float = 10.39, depth_thres: float = 0.05,
-                             mesh=None, block_chunk: int = 4):
+                             mesh=None, block_chunk: int = 4,
+                             use_pallas=None):
     """One jitted (2, Hbig, Wbig, 3) -> global maps function.
 
     ``mesh``: optional jax.sharding.Mesh with a 'data' axis. The block grid -
@@ -82,7 +84,11 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
     live at a time); the default 4 trades ~4 blocks' conv activations of
     peak HBM for cross-block batching of the MXU work (a full x8-batched
     147-pipeline fit one v5e in round 3, so 4 single-block cores are well
-    inside budget)."""
+    inside budget).
+
+    ``use_pallas``: "render" routes each block's render chain through the
+    wide fused Pallas kernel (eval.pipeline.render_full_pallas); None/False
+    keep plain XLA fusion (the measured default, METRICS.md perf notes)."""
     from ..train.global_precal import local_tokens
 
     dfd = DfDSolver.from_config(cam, patch_cfg)
@@ -115,8 +121,9 @@ def make_big_depth_estimator(mods: InferenceModules, patch_cfg: PatchConfig,
                                       train=False).astype(jnp.float32)
         den = denormalize_global_eval(est).reshape(1, Hp, Wp, 12)
         img_patches = unfold(block_img, R, stride)[None]
-        rend = render_full(den[..., :8], params2etas(den[..., 8:]), img_patches,
-                           patch_cfg, dfd, rho_prime, hard_mask=False)
+        rfull = render_full_pallas if use_pallas == "render" else render_full
+        rend = rfull(den[..., :8], params2etas(den[..., 8:]), img_patches,
+                     patch_cfg, dfd, rho_prime, hard_mask=False)
         flat = lambda v: v.reshape(Hp, Wp, -1)
         return dict(
             patches=flat(jnp.moveaxis(rend["patches"][0], 0, 2)),  # (Hp,Wp,2RR3)
