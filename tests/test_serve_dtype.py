@@ -91,3 +91,61 @@ def test_bf16_pipeline_runs_and_tracks_f32(monkeypatch, capsys):
         # moderate (not tight) tolerance
         np.testing.assert_allclose(res_bf16[k], res_f32[k], rtol=0.25,
                                    atol=0.05, err_msg=k)
+
+
+@pytest.mark.slow
+def test_bf16_nn_boundary_is_exact():
+    """Tight anchor for the f32 NN-boundary design (round-4 advisor finding:
+    the loose metric tolerances above can't catch a future cast removal).
+    The designed invariant: with --serve_dtype bfloat16, ONLY the two NN
+    forwards run bf16 — everything after the cast at the global-stage output
+    (wedge fields, indicators, color solve, DfD, folds, the 0.05 threshold)
+    is float32. So the bf16 estimator must agree EXACTLY (bit-level) with an
+    oracle that takes the same bf16 NN outputs, casts them to float32, and
+    runs the f32 analytic chain. If bf16 ever leaks past the boundary, the
+    analytic values quantize and the exact match breaks immediately.
+
+    (A count-based anchor was tried first: at random init the NN outputs sit
+    near zero where bf16 rounding is relatively huge, so threshold coverage
+    differs wildly between serve dtypes — 16 vs 26 of 2401 pixels on this
+    draw — and any count bound is either vacuous or flaky.)"""
+    from blurry_edges_tpu.config import CamConfig, PatchConfig
+    from blurry_edges_tpu.ops import params2etas, unfold
+    from blurry_edges_tpu.ops.dfd import DfDSolver
+    from blurry_edges_tpu.ops.params import denormalize_global_eval
+    from blurry_edges_tpu.train.global_precal import local_tokens
+
+    patch_cfg = PatchConfig()
+    cam = CamConfig()
+    mods = _mods(jnp.bfloat16)
+    img = jnp.asarray(_TinyDS._imgs[0])
+
+    got = pipe.make_depth_estimator(mods, patch_cfg, GRID, cam,
+                                    densify=None)(img)
+    assert got["confidence"].dtype == jnp.float32
+    assert got["depth_final"].dtype == jnp.float32
+
+    @jax.jit
+    def oracle(img_ny):
+        # the SAME bf16 NN forwards...
+        tokens, _ = local_tokens(mods.local_model, mods.local_vars, img_ny,
+                                 patch_cfg, GRID, False)
+        src = tokens.transpose(1, 0, 2).reshape(1, GRID.num_tokens, 38)
+        est = mods.global_model.apply(mods.global_vars, src, train=False)
+        # ...cast at the boundary, then a PURE float32 analytic chain
+        est = est.astype(jnp.float32)
+        Hp, Wp = GRID.H_patches, GRID.W_patches
+        den = denormalize_global_eval(est).reshape(1, Hp, Wp, 12)
+        dfd = DfDSolver.from_config(cam, patch_cfg)
+        img_patches = unfold(img_ny, GRID.R, GRID.stride)[None]
+        rend = pipe.render_full(den[..., :8], params2etas(den[..., 8:]),
+                                img_patches, patch_cfg, dfd, 10.39, False)
+        out = pipe.fold_outputs(rend, GRID, jnp.float32)
+        out["depth_final"] = jnp.where(out["confidence"] > 0.05,
+                                       out["global_depth"], 0.0)
+        return out
+
+    want = oracle(img)
+    for k in ("confidence", "global_depth", "depth_final"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]),
+                                      err_msg=k)
