@@ -223,6 +223,25 @@ if os.path.exists(perf_notes):
         if note.strip():
             lines.append(f"- {note.strip()}")
 
+# Standing decisions measured in round 4 (unchanged program; carried forward
+# so the rebuilt table does not silently drop them):
+lines += [
+    "- **Big-path block_chunk sweep** (round-4 measurement, 587x587, 36 "
+    "blocks, v5e): chunk=1 2.69 s/pair, chunk=4 2.22, chunk=6 2.09, chunk=12 "
+    "HBM OOM at compile (19.8G > 15.75G) — default stays chunk=6 (1.29x over "
+    "sequential). The floor is the per-block local-CNN + transformer compute; "
+    "going below ~2 s/pair needs block sharding across chips "
+    "(--dp_devices), not deeper chunking on one chip.",
+    "- **Flash attention (`--attn_impl flash`) remains EXPERIMENTAL and "
+    "unused by committed checkpoints**: at this model's head_dim=16 "
+    "(d_model 128 / 8 heads) the Pallas flash kernel measured 2.9 s/step vs "
+    "2.4 s/step for XLA attention on the production global-train step "
+    "(round-3, v5e), and it deviates from reference numerics twice (no "
+    "attention-prob dropout; f32 operands to dodge a Mosaic bf16 tpu.matmul "
+    "bug on this toolchain). The 961-4,096-token lengths are where flash "
+    "usually wins; the tiny head_dim is why it does not here.",
+]
+
 mfu_txt = os.path.join(LOGS, "mfu.txt")
 if not os.path.exists(mfu_txt):
     mfu_txt = "/root/repo/runs/r4/logs/mfu.txt"  # unchanged serving program

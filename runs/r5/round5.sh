@@ -76,6 +76,9 @@ git add -f "$LOGS/blockgen.log" "$DATA_BFT/manifest.json" 2>/dev/null
 git diff --cached --quiet || git commit -q -m "Block-view fine-tune dataset: 587x587 scenes cropped at the 36 big-pipeline offsets, mixed 50/50 with full-image samples"
 
 # --- 2) block fine-tune of the shared global stage ----------------------------
+# epoch_num 12: the first round-5 pass measured the fine-tune's val plateau at
+# epoch 5-7 (runs/r5/logs/val_curve_summary.txt); 12 epochs bounds the stage so
+# the wall clock reaches the eval/bless/densifier/realshard stages downstream.
 TRAIN_BUDGET=$(( ROUND_END - $(date +%s) - POST_RESERVE ))
 [ "$TRAIN_BUDGET" -lt 1800 ] && TRAIN_BUDGET=1800
 [ "$TRAIN_BUDGET" -gt 14400 ] && TRAIN_BUDGET=14400
@@ -95,7 +98,7 @@ while [ ! -f "$W/done_global" ]; do
   python global_training.py \
     --data_path "$DATA_BFT" --model_path "$W" --log_path "$LOGS" \
     --init_from pretrained_weights/best_run_exp_global_stage \
-    --dynamic_epoch 0 0 0 --epoch_num 40 --learning_rate 5e-5 \
+    --dynamic_epoch 0 0 0 --epoch_num 12 --learning_rate 5e-5 \
     --val_batches 25 --snapshot_steps 50 \
     --time_budget_s "$REMAIN" >> "$LOG" 2>&1 &
   TPID=$!
@@ -272,8 +275,12 @@ BE_METRICS_LOGS=/root/repo/$LOGS BE_METRICS_ROUND=5 \
   BE_METRICS_WEIGHTS=/root/repo/pretrained_weights \
   python runs/r5/make_metrics.py >> "$LOG" 2>&1
 stamp "metrics rc=$?"
+# refresh the val-curve evidence with this pass's block fine-tune heartbeats
+BE_R5_ROOT=$R python runs/r5/valcurve.py >> "$LOG" 2>&1
+stamp "valcurve rc=$?"
 git add -f METRICS.md pretrained_weights "$LOGS/perf_notes.txt" \
-  "$LOGS/perf_detail.txt" "$LOGS/blessed.json" 2>/dev/null
+  "$LOGS/perf_detail.txt" "$LOGS/blessed.json" "$LOGS/val_curve.png" \
+  "$LOGS/val_curve_summary.txt" "$LOGS/loss_curve_exp_global_stage.npy" 2>/dev/null
 git diff --cached --quiet || git commit -q -m "Round-5 accuracy table: blessed checkpoints, per-row provenance, refreshed perf notes"
 
 # --- 9) bench -------------------------------------------------------------------
