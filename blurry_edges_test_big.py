@@ -9,5 +9,5 @@ from blurry_edges_tpu.utils.weights import load_inference_modules
 
 if __name__ == "__main__":
     args = get_args("eval", big=True)
-    modules = load_inference_modules(args)
+    modules = load_inference_modules(args, big=True)
     run_eval_big(args, modules, visualizer=make_file_visualizer(args, big=True))

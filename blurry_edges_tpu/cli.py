@@ -57,7 +57,7 @@ def eval_big_main(argv: Optional[list] = None) -> None:
 
     args = get_args("eval", big=True,
                     argv=sys.argv[1:] if argv is None else argv)
-    modules = load_inference_modules(args)
+    modules = load_inference_modules(args, big=True)
     run_eval_big(args, modules,
                  visualizer=make_file_visualizer(args, big=True))
 

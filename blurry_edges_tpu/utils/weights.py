@@ -50,7 +50,8 @@ def _load_stage(model_path: str, names, convert_fn, init_fn, allow_random: bool)
     raise FileNotFoundError(f"no weights for any of {names} under {model_path}")
 
 
-def load_inference_modules(args, densify=None, allow_random: bool = False):
+def load_inference_modules(args, densify=None, allow_random: bool = False,
+                           big: bool = False):
     from ..eval.pipeline import InferenceModules
 
     grid = GridConfig(H=args.img_size[0], W=args.img_size[1], R=args.R,
@@ -71,6 +72,15 @@ def load_inference_modules(args, densify=None, allow_random: bool = False):
     # fall back to the shared trained checkpoint when no w-variant exists
     if densify == "w":
         gnames = ("pretrained_global_stage_w", "best_run_exp_global_stage_w",
+                  "pretrained_global_stage", "best_run_exp_global_stage")
+    elif big:
+        # The block-tiled path has its own blessed stage: extended full-image
+        # training (round 4b) improved the 147x147 rows but regressed
+        # block-edge statistics (isolation run runs/r5/logs/eval_big_oldw.txt:
+        # delta1 0.241 pre-extension vs 0.101 extended on the same big set).
+        # Like the reference's per-mode w weights (blurry_edges_test.py:186-191),
+        # big prefers its own checkpoint and falls back to the shared stage.
+        gnames = ("pretrained_global_stage_big", "best_run_exp_global_stage_big",
                   "pretrained_global_stage", "best_run_exp_global_stage")
     else:
         gnames = ("pretrained_global_stage", "best_run_exp_global_stage")

@@ -62,13 +62,30 @@ def per_image(path):
     return out
 
 
+# Per-row log resolution: first existing path wins. The round-5 restart
+# window could not re-measure rows whose inputs are unchanged (byte-identical
+# weights + seed-regenerated data), so those rows fall back to the round-4
+# logs that measured them; the big row falls back to the round-5 isolation
+# run, which used exactly the weights now blessed as
+# pretrained_weights/best_run_exp_global_stage_big.
+R4_LOGS = "/root/repo/runs/r4/logs"
 MODES = [
-    ("none (threshold 0.05)", "eval_none.txt", "147x147"),
-    ("w (wedge assignment)", "eval_w.txt", "147x147"),
-    ("pp (U-Net densifier)", "eval_pp.txt", "147x147"),
-    ("big (587x587 block-tiled)", "eval_big.txt", "587x587"),
-    ("none, real-texture shard", "eval_real.txt", "147x147"),
-    ("pp, real-texture shard", "eval_real_pp.txt", "147x147"),
+    ("none (threshold 0.05)",
+     [os.path.join(LOGS, "eval_none.txt"),
+      os.path.join(R4_LOGS, "eval_none.txt")], "147x147"),
+    ("w (wedge assignment)",
+     [os.path.join(LOGS, "eval_w.txt"),
+      os.path.join(R4_LOGS, "eval_w.txt")], "147x147"),
+    ("pp (U-Net densifier)",
+     [os.path.join(LOGS, "eval_pp.txt"),
+      os.path.join(R4_LOGS, "eval_pp.txt")], "147x147"),
+    ("big (587x587 block-tiled)",
+     [os.path.join(LOGS, "eval_big.txt"),
+      os.path.join(LOGS, "eval_big_oldw.txt")], "587x587"),
+    ("none, real-texture shard",
+     [os.path.join(LOGS, "eval_real.txt")], "147x147"),
+    ("pp, real-texture shard",
+     [os.path.join(LOGS, "eval_real_pp.txt")], "147x147"),
 ]
 
 blessed = {}
@@ -119,13 +136,12 @@ if blessed:
         prov.append(f"- **{k}**: {v}")
 else:
     prov.append("- blessed.json missing; rows use pretrained_weights/* as-is.")
-prov.append(f"- **pp densifier training source** (pp_source.txt): `{pp_source}`"
-            + (" — pipeline-sourced sparse maps over the shapes set mixed with"
-               " freshly-seeded realistic ramp scenes; the realistic VAL split"
-               " is parameter-shifted (Z [0.78,1.15], alpha [150,178], seed"
-               " 9100) so checkpoint selection prefers weights that generalize"
-               " beyond the exact test parameter draw (runs/r5/train_densify.py)."
-               if pp_source.startswith("pipeline+realistic") else ""))
+prov.append(f"- **pp densifier training source** (pp_source.txt): {pp_source}"
+            + (" The realistic VAL split is parameter-shifted (Z [0.78,1.15],"
+               " alpha [150,178], seed 9100) so checkpoint selection prefers"
+               " weights that generalize beyond the exact test parameter draw"
+               " (runs/r5/train_densify.py)."
+               if "shifted validation" in pp_source else ""))
 lines += prov + [""]
 
 lines += [
@@ -135,13 +151,17 @@ lines += [
 
 n_rows = 0
 any_empty = False
-for name, fname, dataset in MODES:
-    parsed = parse(os.path.join(LOGS, fname))
+row_logs = []
+for name, candidates, dataset in MODES:
+    path = next((p for p in candidates if os.path.exists(p)), candidates[0])
+    parsed = parse(path)
     if parsed is None:
-        if "real" in fname:
+        if "real" in candidates[0]:
             continue  # optional rows vanish quietly when not measured
         lines.append(f"| {name} | {dataset} | — | — | — | — | — | — |")
         continue
+    row_logs.append(f"{name.split(' (')[0].split(',')[0]}: "
+                    f"`{os.path.relpath(path, '/root/repo')}`")
     vals, all_empty, excluded, n_pairs = parsed
     dataset = f"{n_pairs} pairs, {dataset}"
     d1, d2, d3, rmse, absrel, t = vals
@@ -161,7 +181,7 @@ for name, fname, dataset in MODES:
 
 lines += [
     "",
-    f"Raw logs: `{os.path.relpath(LOGS)}/eval_*.txt`.",
+    "Raw logs per row: " + "; ".join(row_logs) + ".",
     "",
 ]
 if any_empty:
@@ -178,8 +198,16 @@ if any_empty:
     ]
 
 # ---- common-basis pp vs none -------------------------------------------
-none_img = per_image(os.path.join(LOGS, "eval_none.txt"))
-pp_img = per_image(os.path.join(LOGS, "eval_pp.txt"))
+def _resolve(name):
+    for nm, candidates, _ in MODES:
+        if nm.startswith(name):
+            return next((p for p in candidates if os.path.exists(p)),
+                        candidates[0])
+    return os.path.join(LOGS, f"eval_{name}.txt")
+
+
+none_img = per_image(_resolve("none"))
+pp_img = per_image(_resolve("pp"))
 if none_img and pp_img:
     common = sorted(set(none_img) & set(pp_img))
     if common:
