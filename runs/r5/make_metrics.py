@@ -136,12 +136,7 @@ if blessed:
         prov.append(f"- **{k}**: {v}")
 else:
     prov.append("- blessed.json missing; rows use pretrained_weights/* as-is.")
-prov.append(f"- **pp densifier training source** (pp_source.txt): {pp_source}"
-            + (" The realistic VAL split is parameter-shifted (Z [0.78,1.15],"
-               " alpha [150,178], seed 9100) so checkpoint selection prefers"
-               " weights that generalize beyond the exact test parameter draw"
-               " (runs/r5/train_densify.py)."
-               if "shifted validation" in pp_source else ""))
+prov.append(f"- **pp densifier training source** (pp_source.txt): {pp_source}")
 lines += prov + [""]
 
 lines += [
@@ -153,14 +148,20 @@ n_rows = 0
 any_empty = False
 row_logs = []
 for name, candidates, dataset in MODES:
-    path = next((p for p in candidates if os.path.exists(p)), candidates[0])
-    parsed = parse(path)
+    # first candidate that actually PARSES wins (a timed-out partial log on
+    # the preferred path must fall through to the round-4 measurement)
+    path, parsed = candidates[0], None
+    for cand in candidates:
+        parsed = parse(cand)
+        if parsed is not None:
+            path = cand
+            break
     if parsed is None:
         if "real" in candidates[0]:
             continue  # optional rows vanish quietly when not measured
         lines.append(f"| {name} | {dataset} | — | — | — | — | — | — |")
         continue
-    row_logs.append(f"{name.split(' (')[0].split(',')[0]}: "
+    row_logs.append(f"{name.split(' (')[0]}: "
                     f"`{os.path.relpath(path, '/root/repo')}`")
     vals, all_empty, excluded, n_pairs = parsed
     dataset = f"{n_pairs} pairs, {dataset}"
@@ -201,7 +202,7 @@ if any_empty:
 def _resolve(name):
     for nm, candidates, _ in MODES:
         if nm.startswith(name):
-            return next((p for p in candidates if os.path.exists(p)),
+            return next((p for p in candidates if parse(p) is not None),
                         candidates[0])
     return os.path.join(LOGS, f"eval_{name}.txt")
 
